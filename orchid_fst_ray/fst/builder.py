@@ -1,0 +1,220 @@
+"""Minimal-acyclic FST builder over sorted keys (codepoint arcs).
+
+Reimplements the *semantics* of Orchid-FST's streaming builder
+(reference: /root/reference/src/main/fst/fst/fst_core/fst.cpp:132-219
+``FstBuilder::Insert`` with classic transducer output redistribution,
+fst.cpp:96-115 ``FreezeNodes``/``FreezeNode`` frozen-node dedup,
+fst.cpp:164-167 sorted-input enforcement, fst.cpp:180-189 duplicate-key
+last-value-wins) on a codepoint alphabet. UTF-8 byte order equals
+codepoint order, so sortedness and output order match the reference's
+byte-lexicographic semantics while automata operate on whole UTF-8
+characters exactly as the reference does (automaton.cpp:22-38 gates
+byte paths on whole-character boundaries; we get that by construction).
+
+The result is a :class:`~orchid_fst_ray.fst.fst.Fst` — an immutable,
+numpy-array-backed DAG that serializes compactly for the Ray object
+store.
+
+Invariants (enforced, mirroring the reference):
+- keys must arrive in non-decreasing lexicographic order; a *smaller*
+  key raises ``ValueError`` ("not larger than last key").
+- inserting an equal key overwrites the value (last wins).
+- the empty key is valid (value stored as the root's final output,
+  fst.cpp:471-485 ``m_emptyOutput``).
+- value of a key == sum of arc outputs along its path + final output
+  (fst.cpp:506,517).
+"""
+
+from __future__ import annotations
+
+from orchid_fst_ray.fst.fst import Fst, freeze_to_arrays
+
+__all__ = ["FstBuilder"]
+
+
+class _Node:
+    """An unfrozen node on the in-flight suffix path."""
+
+    __slots__ = ("labels", "outputs", "children", "is_final", "final_output")
+
+    def __init__(self) -> None:
+        self.labels: list[str] = []      # arc labels (1-char strings), ascending
+        self.outputs: list[int] = []     # arc outputs (uint64)
+        self.children: list[object] = []  # frozen node id (int) or _Node (last arc only)
+        self.is_final = False
+        self.final_output = 0
+
+
+class FstBuilder:
+    """Streaming minimal-acyclic FST builder; insert keys in sorted order.
+
+    ``has_output=False`` builds a *set* FST (all outputs zero), matching
+    the reference's map/set flag (fst.h:201-217).
+
+    ``max_registry_size`` optionally caps the frozen-node dedup registry
+    (mirrors the reference's LRU node-cache budget, fst.h:73-79): when
+    exceeded, the registry is cleared, so the FST remains correct but only
+    approximately minimal — the same trade-off the reference documents.
+    """
+
+    def __init__(self, has_output: bool = True,
+                 max_registry_size: int | None = None) -> None:
+        self.has_output = has_output
+        self._root = _Node()
+        self._path: list[_Node] = [self._root]  # path[i] = node after i chars of last key
+        self._last_key: str | None = None
+        # frozen node storage (append-only)
+        self._f_labels: list[list[str]] = []
+        self._f_outputs: list[list[int]] = []
+        self._f_dests: list[list[int]] = []
+        self._f_final: list[bool] = []
+        self._f_final_out: list[int] = []
+        self._registry: dict[tuple, int] = {}
+        self._max_registry = max_registry_size
+        self.n_keys = 0
+        self._finished: Fst | None = None
+
+    # ------------------------------------------------------------------ insert
+
+    def insert(self, key: str, value: int = 0) -> None:
+        if self._finished is not None:
+            raise RuntimeError("builder already finished")
+        if not self.has_output:
+            value = 0
+        if value < 0 or value >= 1 << 64:
+            raise ValueError("value must fit in uint64")
+        last = self._last_key
+        if last is not None:
+            if key < last:
+                raise ValueError(
+                    f"key {key!r} not larger than last key {last!r}: "
+                    "input must be sorted")
+            if key == last:
+                self._update_duplicate(value)
+                return
+        # common prefix length with the previous key
+        cpl = 0
+        if last:
+            m = min(len(last), len(key))
+            while cpl < m and last[cpl] == key[cpl]:
+                cpl += 1
+        # freeze the diverged suffix of the previous key (bottom-up)
+        self._freeze_path_to(cpl)
+        # push outputs down the shared prefix, absorbing min into `value`
+        remaining = self._redistribute_prefix(cpl, value)
+        # append fresh nodes for the new suffix
+        node = self._path[cpl]
+        suffix = key[cpl:]
+        for i, ch in enumerate(suffix):
+            child = _Node()
+            node.labels.append(ch)
+            node.outputs.append(remaining if i == 0 else 0)
+            node.children.append(child)
+            self._path.append(child)
+            node = child
+        if suffix:
+            node.is_final = True
+            node.final_output = 0
+        else:
+            # key == last-key prefix can only be the very first/empty key
+            node.is_final = True
+            node.final_output = remaining
+        self._last_key = key
+        self.n_keys += 1
+
+    def insert_many(self, keys, values=None) -> None:
+        if values is None:
+            for k in keys:
+                self.insert(k, 0)
+        else:
+            for k, v in zip(keys, values):
+                self.insert(k, int(v))
+
+    # ------------------------------------------------------- output plumbing
+
+    def _redistribute_prefix(self, cpl: int, value: int) -> int:
+        """Push ``min(existing_arc_output, remaining)`` up/keep and the excess
+        down into the sibling subtree, per fst.cpp:146-159."""
+        remaining = value
+        for i in range(cpl):
+            node = self._path[i]
+            # the arc on the path is always the last arc (sorted insert)
+            out = node.outputs[-1]
+            common = min(out, remaining)
+            excess = out - common
+            if excess:
+                child = node.children[-1]
+                assert isinstance(child, _Node)
+                for j in range(len(child.outputs)):
+                    child.outputs[j] += excess
+                if child.is_final:
+                    child.final_output += excess
+            node.outputs[-1] = common
+            remaining -= common
+        return remaining
+
+    def _update_duplicate(self, value: int) -> None:
+        """Equal key inserted again: overwrite its value (fst.cpp:180-189)."""
+        key = self._last_key or ""
+        remaining = self._redistribute_prefix(len(key), value)
+        self._path[len(key)].final_output = remaining
+
+    # ---------------------------------------------------------------- freeze
+
+    def _freeze_path_to(self, depth: int) -> None:
+        """Freeze (minimize + intern) path nodes deeper than ``depth``."""
+        while len(self._path) - 1 > depth:
+            node = self._path.pop()
+            parent = self._path[-1]
+            fid = self._freeze_node(node)
+            parent.children[-1] = fid
+
+    def _freeze_node(self, node: _Node) -> int:
+        # children are already frozen ints at this point
+        sig = (node.is_final, node.final_output,
+               tuple(node.labels), tuple(node.outputs),
+               tuple(node.children))  # type: ignore[arg-type]
+        fid = self._registry.get(sig)
+        if fid is not None:
+            return fid
+        fid = len(self._f_final)
+        self._f_labels.append(node.labels)
+        self._f_outputs.append(node.outputs)
+        self._f_dests.append(node.children)  # type: ignore[arg-type]
+        self._f_final.append(node.is_final)
+        self._f_final_out.append(node.final_output)
+        if self._max_registry is not None and len(self._registry) >= self._max_registry:
+            self._registry.clear()
+        self._registry[sig] = fid
+        return fid
+
+    # ---------------------------------------------------------------- finish
+
+    def finish(self) -> Fst:
+        """Freeze the remaining path and return the immutable Fst."""
+        if self._finished is None:
+            self._freeze_path_to(0)
+            root_id = self._freeze_node(self._root)
+            self._finished = freeze_to_arrays(
+                self._f_labels, self._f_outputs, self._f_dests,
+                self._f_final, self._f_final_out, root_id,
+                self.has_output, self.n_keys)
+            # free builder state
+            self._registry = {}
+            self._f_labels = []
+            self._f_outputs = []
+            self._f_dests = []
+        return self._finished
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self._f_final)
+
+
+def build_fst(keys, values=None, has_output: bool | None = None) -> Fst:
+    """Convenience: build an Fst from pre-sorted keys (and optional values)."""
+    if has_output is None:
+        has_output = values is not None
+    b = FstBuilder(has_output=has_output)
+    b.insert_many(keys, values)
+    return b.finish()
