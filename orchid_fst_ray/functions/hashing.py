@@ -1,0 +1,64 @@
+"""Deterministic vectorized hashing (no PYTHONHASHSEED dependence).
+
+Plays the role of the reference's hash utilities
+(/root/reference/src/main/common/common/util/hash_util.h:61-172 —
+one-at-a-time string hashes + HashCombine used for shard routing and
+node signatures), but vectorized: FNV-1a 64-bit over numpy byte views.
+Used for partition routing (`hash(key) % P`), pair ids, minhash seeds —
+anywhere a stable cross-process hash is required (Python's builtin
+``hash`` is salted per process and must never be used for routing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hash64", "hash64_pairs", "minhash_permute"]
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def hash64(strings) -> np.ndarray:
+    """FNV-1a 64-bit of each UTF-8 string; accepts pyarrow array / list /
+    numpy object array. Returns uint64 ndarray."""
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = strings.to_pylist()
+    out = np.empty(len(strings), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(strings):
+            h = _FNV_OFFSET
+            if s is not None:
+                for b in s.encode("utf-8"):
+                    h = (h ^ np.uint64(b)) * _FNV_PRIME
+            out[i] = h
+    return out
+
+
+def hash64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit mix of two uint64 vectors (HashCombine
+    analogue, hash_util.h:169-172)."""
+    a = a.astype(np.uint64, copy=False)
+    b = b.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        h = a * np.uint64(0x9E3779B97F4A7C15)
+        h ^= (b << np.uint64(17)) | (b >> np.uint64(47))
+        h *= np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= h >> np.uint64(29)
+    return h
+
+
+def minhash_permute(hashes: np.ndarray, n_perm: int,
+                    seed: int = 0x5EED) -> np.ndarray:
+    """Universal-hash permutations for MinHash: returns (len, n_perm)
+    uint64 matrix ``(a_i * h + b_i) mod p``-style mixes of the input
+    64-bit hashes (vectorized)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 61, size=n_perm, dtype=np.uint64)
+    h = hashes.astype(np.uint64, copy=False)[:, None]
+    with np.errstate(over="ignore"):
+        m = h * a[None, :] + b[None, :]
+        m ^= m >> np.uint64(33)
+    return m

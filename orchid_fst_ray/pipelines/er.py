@@ -1,0 +1,147 @@
+"""End-to-end entity-resolution pipeline (SURVEY.md §7 / §3.4).
+
+pages(url, warc_ts, html, text, lang)
+  → ExtractNormalize (stateless map_batches; html dropped immediately)
+  → blocking on normalized host + per-block FST build + fuzzy
+    candidate generation (one shuffle)
+  → PairScorer actor pool (Jaro-Winkler + edit similarity) + threshold
+  → connected components via iterative min-label propagation
+  → (url, cluster_id) assignment; singletons keep their own url.
+
+Checkpoints (optional ``checkpoint_dir``): docs / candidates / scored /
+clusters stage boundaries, with chained fingerprints and lineage rows
+(see state/checkpoint.py). Metrics returned alongside the datasets.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from orchid_fst_ray.stages.candidates import (
+    dedupe_pairs, generate_candidates, generate_url_candidates,
+)
+from orchid_fst_ray.stages.clustering import connected_components
+from orchid_fst_ray.stages.extract import EXTRACTOR_VERSION, ExtractNormalize
+from orchid_fst_ray.stages.scoring import score_pairs
+from orchid_fst_ray.state.checkpoint import CheckpointStore
+
+__all__ = ["run_er", "evaluate_pairs", "assignment_from_components"]
+
+CONFIG_VERSION = "er-v1"
+
+
+def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
+           score_threshold: float = 0.82, doc_key_tokens: int = 8,
+           checkpoint_dir: str | None = None,
+           input_fingerprint: str = "",
+           num_partitions: int = 16,
+           scorer_concurrency=(2, 8)) -> dict:
+    """Run the pipeline; returns dict with ``assignment`` (url,
+    cluster_id Dataset), intermediate datasets, lineage and metrics."""
+    store = CheckpointStore(checkpoint_dir)
+    cfg = (f"{CONFIG_VERSION}|{EXTRACTOR_VERSION}|d={d}|dl={damerau}"
+           f"|t={score_threshold}|k={doc_key_tokens}|{input_fingerprint}")
+    t_start = time.time()
+    metrics: dict = {}
+
+    fp_docs = f"docs|{cfg}"
+    docs, resumed = store.run_stage(
+        "docs", fp_docs,
+        lambda: pages_ds.map_batches(
+            ExtractNormalize(doc_key_tokens=doc_key_tokens),
+            batch_format="pyarrow"))
+    metrics["docs_resumed"] = resumed
+
+    fp_cand = f"candidates|{fp_docs}"
+    candidates, resumed = store.run_stage(
+        "candidates", fp_cand,
+        lambda: dedupe_pairs(
+            generate_candidates(docs, d=d, damerau=damerau)
+            .union(generate_url_candidates(docs)),
+            num_partitions=num_partitions))
+    metrics["candidates_resumed"] = resumed
+
+    fp_scored = f"scored|{fp_cand}"
+    scored, resumed = store.run_stage(
+        "scored", fp_scored,
+        lambda: score_pairs(candidates, threshold=score_threshold,
+                            concurrency=scorer_concurrency))
+    metrics["scored_resumed"] = resumed
+
+    fp_clusters = f"clusters|{fp_scored}"
+    clusters, resumed = store.run_stage(
+        "clusters", fp_clusters,
+        lambda: connected_components(scored, num_partitions=num_partitions))
+    metrics["clusters_resumed"] = resumed
+
+    # full assignment: every doc; nodes missing from `clusters` are
+    # singletons labelled by their own url. Broadcast-free left join:
+    # clusters is the small side (only matched docs).
+    assignment = _assign(docs, clusters, num_partitions)
+
+    metrics["wall_sec"] = round(time.time() - t_start, 3)
+    return {
+        "docs": docs, "candidates": candidates, "scored": scored,
+        "clusters": clusters, "assignment": assignment,
+        "lineage": store.lineage, "metrics": metrics,
+    }
+
+
+def _assign(docs, clusters, num_partitions: int):
+    urls = docs.select_columns(["url"]).map_batches(
+        lambda t: pa.table({"url": t["url"].cast(pa.string())}),
+        batch_format="pyarrow")
+    clusters = clusters.materialize()
+    if clusters.count() == 0:
+        # no matched pairs: every doc is its own singleton cluster
+        return urls.map_batches(
+            lambda t: pa.table({"url": t["url"], "cluster_id": t["url"]}),
+            batch_format="pyarrow")
+    joined = urls.join(clusters, join_type="left_outer",
+                       num_partitions=num_partitions, on=("url",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cid = pc.coalesce(t["cluster_id"].cast(pa.string()),
+                          t["url"].cast(pa.string()))
+        return pa.table({"url": t["url"].cast(pa.string()),
+                         "cluster_id": cid})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def assignment_from_components(assignment_ds) -> dict[str, str]:
+    """Materialize the (small) assignment into a dict for evaluation."""
+    out: dict[str, str] = {}
+    for b in assignment_ds.iter_batches(batch_format="pyarrow"):
+        for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):
+            out[u] = c
+    return out
+
+
+def evaluate_pairs(assignment: dict[str, str], labeled_pairs: pa.Table) -> dict:
+    """Pairwise precision/recall/F1 of predicted co-clustering on the
+    labeled pairs (BASELINE.md: F1 >= 0.99 at the fixed blocking key)."""
+    tp = fp = fn = tn = 0
+    ua = labeled_pairs["url_a"].to_pylist()
+    ub = labeled_pairs["url_b"].to_pylist()
+    lab = labeled_pairs["is_match"].to_pylist()
+    for a, b, m in zip(ua, ub, lab):
+        pred = (assignment.get(a) is not None
+                and assignment.get(a) == assignment.get(b))
+        if pred and m:
+            tp += 1
+        elif pred and not m:
+            fp += 1
+        elif not pred and m:
+            fn += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn,
+            "precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,177 @@
+"""Distributed FST dictionary: build per-partition FSTs from a Dataset and
+query them (match / prefix / range / fuzzy) as Dataset transforms.
+
+Ray-Data-first re-expression of the reference's ``ofst map|set`` build
+(fst_cmd.cpp:116-167: external sort → streaming sorted insert → FST file)
+and query CLI (fst_cmd.cpp:183-388): the global external sort
+(large_file_sorter.cpp) becomes ``ds.sort(key)`` — Ray Data's sample +
+range-partition + per-partition sort supersedes lfsort's hash-split/k-way
+merge — and the single FST file becomes one FST *per sorted partition*,
+each a ``(part_lo, part_hi, fst:binary, n_keys)`` row. The partition
+range bounds enable partition pruning for prefix/range/exact queries,
+playing the role the mmap'd global structure plays in the reference.
+
+Scale notes (100 TB design):
+- the build touches only the key/value columns (prune at read).
+- partition count follows Ray's sort partitioning; each builder batch is
+  one whole sorted block (``batch_size=None``) so builder memory is
+  bounded by block size, mirroring the reference's dump-while-build
+  memory bound (fst.h:16-22).
+- queries ship the *query spec* to the FST partitions (small → broadcast
+  by closure), never the reverse; only matching rows come back.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from orchid_fst_ray.fst import (
+    Bound, Fst, FstBuilder, PrefixAutomaton, StrAutomaton, fuzzy_automaton,
+)
+
+__all__ = ["build_dictionary", "search_dictionary", "dictionary_items"]
+
+INDEX_SCHEMA = pa.schema([
+    ("part_lo", pa.large_string()),
+    ("part_hi", pa.large_string()),
+    ("fst", pa.large_binary()),
+    ("n_keys", pa.int64()),
+    ("n_nodes", pa.int64()),
+    ("n_arcs", pa.int64()),
+])
+
+
+def build_dictionary(ds: "ray.data.Dataset", key_col: str = "key",
+                     value_col: str | None = None,
+                     dedup_last: bool = True) -> "ray.data.Dataset":
+    """Sort ``ds`` by ``key_col`` and build one minimal-acyclic FST per
+    sorted partition. Returns the FST *index* dataset (INDEX_SCHEMA).
+
+    ``dedup_last``: equal keys keep the last value (the reference's
+    duplicate-insert semantics, fst.cpp:180-189) — applied within each
+    partition; use a prior ``groupby(key).max/last`` for a global
+    guarantee when duplicates may straddle partition bounds.
+    """
+    cols = [key_col] + ([value_col] if value_col else [])
+    sorted_ds = ds.select_columns(cols).sort(key_col)
+
+    has_output = value_col is not None
+
+    def build(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table([], schema=INDEX_SCHEMA)
+        keys = batch[key_col].to_pylist()
+        values = (batch[value_col].to_pylist() if has_output
+                  else None)
+        b = FstBuilder(has_output=has_output)
+        # sorted within the partition by construction; insert_many applies
+        # last-wins on equal keys via the builder itself
+        b.insert_many(keys, values)
+        fst = b.finish()
+        return pa.table({
+            "part_lo": [keys[0]], "part_hi": [keys[-1]],
+            "fst": [fst.to_bytes()], "n_keys": [fst.n_keys],
+            "n_nodes": [fst.n_nodes], "n_arcs": [fst.n_arcs],
+        }, schema=INDEX_SCHEMA)
+
+    return sorted_ds.map_batches(build, batch_size=None,
+                                 batch_format="pyarrow")
+
+
+def _result_table(pairs, has_output: bool) -> pa.Table:
+    keys = [k for k, _ in pairs]
+    if has_output:
+        vals = np.fromiter((v for _, v in pairs), dtype=np.uint64,
+                           count=len(keys))
+        return pa.table({"key": pa.array(keys, pa.large_string()),
+                         "value": pa.array(vals)})
+    return pa.table({"key": pa.array(keys, pa.large_string())})
+
+
+class _Searcher:
+    """Per-partition query executor: deserializes the partition FST and
+    streams matches for the query spec. Used as a stateless batch fn
+    (deserialization is one zero-copy numpy view per partition)."""
+
+    def __init__(self, kind: str, params: dict[str, Any],
+                 has_output: bool) -> None:
+        self.kind = kind
+        self.params = params
+        self.has_output = has_output
+
+    def prunes(self, lo: str, hi: str) -> bool:
+        """True if a partition with key range [lo, hi] cannot match."""
+        p = self.params
+        if self.kind == "match":
+            return all(k < lo or k > hi for k in p["keys"])
+        if self.kind == "prefix":
+            pre = p["prefix"]
+            return hi < pre or lo[:len(pre)] > pre
+        if self.kind == "range":
+            mn, mx = p.get("min_key"), p.get("max_key")
+            if mn is not None and hi < mn:
+                return True
+            if mx is not None and lo > mx:
+                return True
+        return False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[tuple[str, int]] = []
+        p = self.params
+        for row in range(batch.num_rows):
+            lo = batch["part_lo"][row].as_py()
+            hi = batch["part_hi"][row].as_py()
+            if self.prunes(lo, hi):
+                continue
+            fst = Fst.from_bytes(batch["fst"][row].as_py())
+            if self.kind == "match":
+                for k in p["keys"]:
+                    v = fst.get(k)
+                    if v is not None:
+                        out.append((k, v))
+            elif self.kind == "prefix":
+                out.extend(fst.search(PrefixAutomaton(p["prefix"])))
+            elif self.kind == "range":
+                out.extend(fst.search(
+                    min_bound=Bound(p.get("min_key"), p.get("min_inclusive", True))
+                    if p.get("min_key") is not None else None,
+                    max_bound=Bound(p.get("max_key"), p.get("max_inclusive", True))
+                    if p.get("max_key") is not None else None))
+            elif self.kind == "fuzzy":
+                aut = fuzzy_automaton(p["query"], p["d"],
+                                      p.get("same_prefix_len", 0),
+                                      p.get("damerau", False))
+                out.extend(fst.search(aut))
+            elif self.kind == "all":
+                out.extend(fst.items())
+            else:  # pragma: no cover
+                raise ValueError(f"unknown query kind {self.kind}")
+        return _result_table(out, self.has_output)
+
+
+def search_dictionary(index_ds: "ray.data.Dataset", kind: str,
+                      has_output: bool = True,
+                      **params: Any) -> "ray.data.Dataset":
+    """Run one query over the FST index dataset, distributed: each index
+    row (one partition's FST) is probed independently; results union to a
+    ``key[, value]`` dataset. Because partitions are range-disjoint and
+    each emits in lexicographic order, a final ``sort("key")`` (done by
+    callers that need global order) is cheap and skew-free.
+
+    kinds: ``match`` (keys=[...]), ``prefix`` (prefix=...),
+    ``range`` (min_key/max_key/min_inclusive/max_inclusive),
+    ``fuzzy`` (query, d, same_prefix_len=0, damerau=False), ``all``.
+    """
+    fn = _Searcher(kind, params, has_output)
+    return index_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dictionary_items(index_ds: "ray.data.Dataset",
+                     has_output: bool = True) -> "ray.data.Dataset":
+    """Stream every (key, value) of the dictionary in partition order."""
+    return search_dictionary(index_ds, "all", has_output=has_output)
