@@ -1,0 +1,81 @@
+"""End-to-end entity-resolution pipeline tests (BASELINE.md targets).
+
+- pairwise F1 >= 0.99 on the labeled-pair fixture at the fixed blocking
+  key (FIXTURES.md F2);
+- byte-identical extracted text per url vs the frozen EXTRACTOR SPEC v1
+  (BASELINE.json input_hint per-row invariant);
+- checkpoint resume: a second run skips completed stages and produces an
+  identical assignment (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from orchid_fst_ray.pipelines.er import (
+    assignment_from_components, evaluate_pairs, run_er,
+)
+from orchid_fst_ray.pipelines.fixtures import make_pages
+from orchid_fst_ray.stages.extract import extract_text
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    return make_pages(800, seed=42)
+
+
+@pytest.fixture(scope="module")
+def er_result(ray_session, fixture):
+    import ray.data as rd
+    pages = rd.from_arrow(fixture["pages"]).repartition(4)
+    res = run_er(pages, num_partitions=4, scorer_concurrency=2)
+    res["assign_dict"] = assignment_from_components(res["assignment"])
+    return res
+
+
+def test_extraction_byte_identical(fixture):
+    """Per-row invariant: extractor output == the pages.text column."""
+    pages = fixture["pages"]
+    for html, text in zip(pages["html"].to_pylist(),
+                          pages["text"].to_pylist()):
+        assert extract_text(html) == text
+
+
+def test_pairwise_f1(er_result, fixture):
+    ev = evaluate_pairs(er_result["assign_dict"], fixture["labeled_pairs"])
+    assert ev["f1"] >= 0.99, ev
+    assert ev["precision"] >= 0.99, ev
+
+
+def test_every_doc_assigned(er_result, fixture):
+    assert len(er_result["assign_dict"]) == fixture["pages"].num_rows
+
+
+def test_clusters_are_transitive_vs_union_find(er_result):
+    """Dataset-level label propagation == driver-side union-find."""
+    from orchid_fst_ray.stages.clustering import union_find_components
+    pairs = []
+    for b in er_result["scored"].iter_batches(batch_format="pyarrow"):
+        pairs.extend(zip(b["url_a"].to_pylist(), b["url_b"].to_pylist()))
+    oracle = union_find_components(pairs)
+    got = er_result["assign_dict"]
+    for node, root in oracle.items():
+        assert got[node] == root
+
+
+def test_checkpoint_resume(ray_session, fixture, tmp_path):
+    import ray.data as rd
+    pages = rd.from_arrow(fixture["pages"]).repartition(4)
+    ckpt = str(tmp_path / "ckpt")
+    r1 = run_er(pages, num_partitions=4, scorer_concurrency=2,
+                checkpoint_dir=ckpt, input_fingerprint="fix800")
+    a1 = assignment_from_components(r1["assignment"])
+    assert not any(row["resumed"] for row in r1["lineage"])
+
+    r2 = run_er(pages, num_partitions=4, scorer_concurrency=2,
+                checkpoint_dir=ckpt, input_fingerprint="fix800")
+    a2 = assignment_from_components(r2["assignment"])
+    assert all(row["resumed"] for row in r2["lineage"])
+    assert r2["metrics"]["clusters_resumed"]
+    assert a1 == a2
