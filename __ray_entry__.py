@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship entity-resolution pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL where the operator is SQL-expressible (the
+remainder get the driver's rows-only check and are gated by pytest
+oracles instead — see tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +16,291 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ER pipeline over pages derived from sf0.001 documents:
+    extract → block → FST fuzzy candidates → score → cluster."""
+    from orchid_fst_ray.pipelines.er import run_er
+    from orchid_fst_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(SF_SMOKE, parallelism=8)
+    res = run_er(pages, num_partitions=8, scorer_concurrency=(1, 4))
+    return res["assignment"]
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _part_kv(sf_dir: str):
+    """part → distinct (key=p_name, value=max p_partkey) — the
+    dictionary-build input (duplicate keys pre-aggregated so the result
+    is partition-order independent)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_name", "p_partkey"])
+    agg = ds.groupby("p_name").aggregate(Max("p_partkey", alias_name="value"))
+    return agg.map_batches(
+        lambda t: pa.table({"key": t["p_name"].cast(pa.large_string()),
+                            "value": t["value"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _part_index(sf_dir: str):
+    from orchid_fst_ray.stages.dictionary import build_dictionary
+    return build_dictionary(_part_kv(sf_dir), key_col="key",
+                            value_col="value")
+
+
+def _as_int64_value(ds):
+    return ds.map_batches(
+        lambda t: pa.table({"key": t["key"],
+                            "value": t["value"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+_MATCH_KEYS = ["blue bolt", "red widget", "small ring", "zzz no such part"]
+_FUZZY_QUERY = "red widgit"
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from orchid_fst_ray.pipelines import dedup, similarity, textstats
+    from orchid_fst_ray.stages.dictionary import search_dictionary
+    from orchid_fst_ray.stages.sorting import sort_by_trimmed
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def dict_items(sf_dir: str):
+        from orchid_fst_ray.stages.dictionary import dictionary_items
+        return _as_int64_value(
+            dictionary_items(_part_index(sf_dir)).sort("key"))
+
+    def dict_match(sf_dir: str):
+        return _as_int64_value(
+            search_dictionary(_part_index(sf_dir), "match",
+                              keys=_MATCH_KEYS).sort("key"))
+
+    def dict_prefix(sf_dir: str):
+        return _as_int64_value(
+            search_dictionary(_part_index(sf_dir), "prefix",
+                              prefix="re").sort("key"))
+
+    def dict_range(sf_dir: str):
+        return _as_int64_value(
+            search_dictionary(_part_index(sf_dir), "range",
+                              min_key="b", max_key="m",
+                              min_inclusive=True,
+                              max_inclusive=False).sort("key"))
+
+    def dict_fuzzy_lev(sf_dir: str):
+        from orchid_fst_ray.stages.dictionary import build_dictionary
+        keys = _part_kv(sf_dir).select_columns(["key"])
+        idx = build_dictionary(keys, key_col="key", value_col=None)
+        return search_dictionary(idx, "fuzzy", has_output=False,
+                                 query=_FUZZY_QUERY, d=2,
+                                 damerau=False).sort("key")
+
+    def dict_fuzzy_damerau(sf_dir: str):
+        from orchid_fst_ray.stages.dictionary import build_dictionary
+        keys = _part_kv(sf_dir).select_columns(["key"])
+        idx = build_dictionary(keys, key_col="key", value_col=None)
+        return search_dictionary(idx, "fuzzy", has_output=False,
+                                 query=_FUZZY_QUERY, d=2,
+                                 damerau=True).sort("key")
+
+    def sort_lines(sf_dir: str):
+        return sort_by_trimmed(_docs(sf_dir), col="text", id_col="doc_id")
+
+    def dedup_exact(sf_dir: str):
+        return dedup.exact_dedup(_docs(sf_dir))
+
+    def dedup_ngram_jaccard(sf_dir: str):
+        pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5,
+                                          max_posting=1_000_000)
+        return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+    def dedup_minhash(sf_dir: str):
+        pairs = dedup.minhash_dup_pairs(_docs(sf_dir), threshold=0.5,
+                                        n_perm=128, bands=32)
+        return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+    def dedup_simhash(sf_dir: str):
+        return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+    def dedup_embedding(sf_dir: str):
+        pairs = dedup.embedding_dup_pairs(_emb(sf_dir), threshold=0.4)
+        return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+    def ann_topk(sf_dir: str):
+        res = similarity.ann_topk(_emb(sf_dir), [0, 7, 42], k=10)
+        return res.select_columns(["query_id", "vec_id", "rank"]).sort(
+            ["query_id", "rank"])
+
+    def ann_lsh(sf_dir: str):
+        res = similarity.lsh_ann_topk(_emb(sf_dir), [0, 7, 42], k=10,
+                                      bits=8, multiprobe=4)
+        return res.select_columns(["query_id", "vec_id", "rank"])
+
+    def ann_ivf(sf_dir: str):
+        res = similarity.ivf_ann_topk(_emb(sf_dir), [0, 7, 42], k=10)
+        return res.select_columns(["query_id", "vec_id", "rank"])
+
+    def token_stats(sf_dir: str):
+        return textstats.token_stats(_docs(sf_dir)).sort("doc_id")
+
+    def quality_stats(sf_dir: str):
+        return textstats.quality_stats(_docs(sf_dir)).sort("doc_id")
+
+    def lang_id(sf_dir: str):
+        return textstats.lang_id(_docs(sf_dir)).sort("doc_id")
+
+    def doc_fingerprints(sf_dir: str):
+        return textstats.doc_fingerprints(_docs(sf_dir)).sort("doc_id")
+
+    def er_clusters(sf_dir: str):
+        from orchid_fst_ray.pipelines.er import run_er
+        from orchid_fst_ray.sources.pages import pages_from_documents
+        pages = pages_from_documents(sf_dir, parallelism=8)
+        res = run_er(pages, num_partitions=8, scorer_concurrency=(1, 4))
+        return res["assignment"].sort("url")
+
+    def multimodal_image_features(sf_dir: str):
+        from orchid_fst_ray.stages.multimodal import (
+            image_feature_pipeline, synth_image_table)
+        return image_feature_pipeline(synth_image_table(sf_dir))
+
+    return {
+        "dict_items": dict_items,
+        "dict_match": dict_match,
+        "dict_prefix": dict_prefix,
+        "dict_range": dict_range,
+        "dict_fuzzy_lev": dict_fuzzy_lev,
+        "dict_fuzzy_damerau": dict_fuzzy_damerau,
+        "sort_lines": sort_lines,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "token_stats": token_stats,
+        "quality_stats": quality_stats,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "er_clusters": er_clusters,
+        "multimodal_image_features": multimodal_image_features,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracles (ANSI SQL for DuckDB over the pre-registered table views)
+# --------------------------------------------------------------------------
+
+_PART_KV = ("SELECT p_name AS key, max(p_partkey) AS value "
+            "FROM part GROUP BY p_name")
+
+_SHINGLES = """
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(
+                   generate_series(1, len(ts) - 2),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+              ELSE [] END AS sets
+       FROM tok)
+"""
+
+_STOPS_SQL = ("['the','a','an','and','or','of','to','in','is','it',"
+              "'that','for','on','with','as','at','by']")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    match_list = ", ".join(f"'{k}'" for k in _MATCH_KEYS)
+    return {
+        "dict_items": f"SELECT * FROM ({_PART_KV}) ORDER BY key",
+        "dict_match": (f"SELECT * FROM ({_PART_KV}) "
+                       f"WHERE key IN ({match_list}) ORDER BY key"),
+        "dict_prefix": (f"SELECT * FROM ({_PART_KV}) "
+                        "WHERE key LIKE 're%' ORDER BY key"),
+        "dict_range": (f"SELECT * FROM ({_PART_KV}) "
+                       "WHERE key >= 'b' AND key < 'm' ORDER BY key"),
+        "dict_fuzzy_lev": (
+            "SELECT DISTINCT p_name AS key FROM part "
+            f"WHERE levenshtein(p_name, '{_FUZZY_QUERY}') <= 2 "
+            "ORDER BY key"),
+        "sort_lines": ("SELECT doc_id, text FROM documents "
+                       "ORDER BY trim(text), doc_id"),
+        "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
+                        "GROUP BY text ORDER BY doc_id"),
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES},
+            ex AS (SELECT doc_id, unnest(sets) AS s FROM sh),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, len(sets) AS n FROM sh)
+            SELECT ia AS id_a, ib AS id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = ia
+            JOIN sizes sb ON sb.doc_id = ib
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+            ORDER BY id_a, id_b""",
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY id_a, id_b""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 7, 42)),
+            s AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.qe::DOUBLE[]) AS cos
+                  FROM embeddings e, q WHERE e.vec_id != q.qid),
+            r AS (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos DESC, vec_id) AS rank
+                  FROM s)
+            SELECT qid AS query_id, vec_id, rank FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank""",
+        "token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT
+                       AS n_tokens,
+                   len(list_distinct(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')))::BIGINT AS n_distinct_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents ORDER BY doc_id""",
+        # quality_stats / lang_id / fingerprints / minhash / simhash /
+        # ann_lsh / ann_ivf / er_clusters / multimodal: not (exactly)
+        # SQL-expressible → driver rows-only check; pytest oracles in
+        # tests/test_dataops.py & tests/test_er_pipeline.py instead.
+    }

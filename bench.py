@@ -1,0 +1,132 @@
+"""Benchmark harness (driver-run per round; prints ONE JSON line).
+
+Headline: end-to-end entity-resolution docs/sec over pages derived from
+``$GRAFT_SF_DIR`` documents (default /root/testdata/sf0.1), plus
+per-pipeline wall times for the other operator families.
+
+``--scaling``: runs the headline ER pipeline twice in FRESH processes
+at num_cpus=8 and num_cpus=32 over the same input and reports both
+throughputs + scaling efficiency (sandbox stand-in for the N vs 4N
+node rule; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def run_er_bench(sf_dir: str) -> tuple[float, int]:
+    """Headline: full ER pipeline, returns (wall_sec, n_docs)."""
+    from orchid_fst_ray.pipelines.er import run_er
+    from orchid_fst_ray.sources.pages import pages_from_documents
+    n = _n_docs(sf_dir)
+    t0 = time.time()
+    pages = pages_from_documents(sf_dir, parallelism=NUM_CPUS)
+    res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
+                 scorer_concurrency=(2, max(2, NUM_CPUS // 4)))
+    got = res["assignment"].count()
+    wall = time.time() - t0
+    assert got == n, (got, n)
+    return wall, n
+
+
+def run_query_benches(sf_dir: str) -> dict[str, float]:
+    """Per-family wall times over the bench-scale tables."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+    qs = e.queries()
+    names = ["dict_items", "dict_fuzzy_lev", "sort_lines", "dedup_exact",
+             "dedup_minhash", "dedup_simhash", "dedup_embedding",
+             "ann_topk", "token_stats", "quality_stats", "lang_id",
+             "doc_fingerprints", "multimodal_image_features"]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume the stream (count() executes the full pipeline)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    _init_ray(NUM_CPUS)
+    er_wall, n = run_er_bench(SF_DIR)
+    queries = {"er_end_to_end": round(er_wall, 3)}
+    queries.update(run_query_benches(SF_DIR))
+    docs_per_sec = round(n / er_wall, 2)
+    print(json.dumps({
+        "metric": "er_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+def _scaling_child(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    wall, n = run_er_bench(SF_DIR)
+    print(json.dumps({"num_cpus": num_cpus, "wall_sec": round(wall, 3),
+                      "docs_per_sec": round(n / wall, 2)}))
+    import ray
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, same input, fresh processes at 8 then 32 CPUs."""
+    results = []
+    for n_cpu in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n_cpu)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scaling-child", str(n_cpu)],
+            capture_output=True, text=True, env=env, timeout=3600)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    thr8, thr32 = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
+    eff = round(thr32 / thr8 / 4.0, 3)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "efficiency",
+        "runs": results,
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        globals()["NUM_CPUS"] = int(sys.argv[sys.argv.index(
+            "--scaling-child") + 1])
+        _scaling_child(NUM_CPUS)
+    elif "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

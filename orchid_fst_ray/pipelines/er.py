@@ -70,16 +70,17 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
                             concurrency=scorer_concurrency))
     metrics["scored_resumed"] = resumed
 
+    # clustering is seeded with EVERY doc url, so its output is the
+    # complete (url, cluster_id) assignment — singletons label
+    # themselves and no outer join against docs is needed.
     fp_clusters = f"clusters|{fp_scored}"
     clusters, resumed = store.run_stage(
         "clusters", fp_clusters,
-        lambda: connected_components(scored, num_partitions=num_partitions))
+        lambda: connected_components(
+            scored, nodes_ds=docs, node_col="url",
+            num_partitions=num_partitions))
     metrics["clusters_resumed"] = resumed
-
-    # full assignment: every doc; nodes missing from `clusters` are
-    # singletons labelled by their own url. Broadcast-free left join:
-    # clusters is the small side (only matched docs).
-    assignment = _assign(docs, clusters, num_partitions)
+    assignment = clusters
 
     metrics["wall_sec"] = round(time.time() - t_start, 3)
     return {
@@ -87,29 +88,6 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
         "clusters": clusters, "assignment": assignment,
         "lineage": store.lineage, "metrics": metrics,
     }
-
-
-def _assign(docs, clusters, num_partitions: int):
-    urls = docs.select_columns(["url"]).map_batches(
-        lambda t: pa.table({"url": t["url"].cast(pa.string())}),
-        batch_format="pyarrow")
-    clusters = clusters.materialize()
-    if clusters.count() == 0:
-        # no matched pairs: every doc is its own singleton cluster
-        return urls.map_batches(
-            lambda t: pa.table({"url": t["url"], "cluster_id": t["url"]}),
-            batch_format="pyarrow")
-    joined = urls.join(clusters, join_type="left_outer",
-                       num_partitions=num_partitions, on=("url",))
-
-    def fill(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        cid = pc.coalesce(t["cluster_id"].cast(pa.string()),
-                          t["url"].cast(pa.string()))
-        return pa.table({"url": t["url"].cast(pa.string()),
-                         "cluster_id": cid})
-
-    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def assignment_from_components(assignment_ds) -> dict[str, str]:

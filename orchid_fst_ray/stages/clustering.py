@@ -7,65 +7,92 @@ closure over scored pairs is the dataset-level analogue this engine
 adds.
 
 Algorithm (hash-partitioned, driver controls iterations):
-  labels₀(node) = node
-  repeat: msgs = edges⋈labels (both directions) ∪ labels
+  labels₀(node) = min(node, min neighbor)   [∪ self-labels for seeds]
+  repeat: msgs = edges⋈labels (label flows along each edge) ∪ labels
           labelsᵢ₊₁ = groupby(node).min(label)
   until Σ label-hash stable (min-propagation is monotone, so an
   unchanged aggregate ⇒ fixpoint). Converges in ≤ diameter iterations.
 
+Seeding every node (``nodes_ds``) makes the final labels dataset the
+*complete assignment* — singletons label themselves — so no outer join
+against the docs table is needed downstream.
+
 Skew notes: Ray Data's built-in ``Min`` aggregate pre-combines per
 block before the shuffle (the salted two-phase pattern of SURVEY.md
 §4.2 is only needed for mega-components whose message fan-in exceeds a
-partition; the per-block combine handles moderate skew). ``num_partitions``
-sizes the hash join.
+partition; the per-block combine handles moderate skew). Join inputs
+are passed through ``compact_nonempty`` because hash-shuffled
+aggregates can emit schema-less empty blocks that break pyarrow joins.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from ray.data.aggregate import Min
 
+from orchid_fst_ray.functions.blocks import compact_nonempty
+
 __all__ = ["connected_components", "union_find_components"]
+
+_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+_LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
 
 
 def connected_components(edges_ds, node_a: str = "url_a",
                          node_b: str = "url_b",
+                         nodes_ds=None, node_col: str = "url",
                          num_partitions: int = 16,
                          max_iters: int = 25):
-    """edges(node_a, node_b) → (url, cluster_id) for every node that
-    appears in an edge; cluster_id = lexicographic min node of the
-    component. Driver loop with materialized per-iteration labels."""
-    edges = (edges_ds
-             .select_columns([node_a, node_b])
-             .map_batches(lambda t: pa.table({
-                 "src": pa.concat_arrays([
-                     t[node_a].combine_chunks().cast(pa.string()),
-                     t[node_b].combine_chunks().cast(pa.string())]),
-                 "dst": pa.concat_arrays([
-                     t[node_b].combine_chunks().cast(pa.string()),
-                     t[node_a].combine_chunks().cast(pa.string())]),
-             }), batch_format="pyarrow")
-             ).materialize()
+    """edges(node_a, node_b) [+ optional nodes(node_col) seeds] →
+    (url, cluster_id); cluster_id = lexicographic min node of the
+    component. Seeded nodes with no edges come back as singletons.
+    Driver loop with materialized per-iteration labels."""
+    import ray.data as rd
+
+    edges = compact_nonempty(
+        edges_ds
+        .select_columns([node_a, node_b])
+        .map_batches(lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t[node_a].combine_chunks().cast(pa.string()),
+                t[node_b].combine_chunks().cast(pa.string())]),
+            "dst": pa.concat_arrays([
+                t[node_b].combine_chunks().cast(pa.string()),
+                t[node_a].combine_chunks().cast(pa.string())]),
+        }), batch_format="pyarrow"),
+        schema=_EDGE_SCHEMA)
+
+    seeds = None
+    if nodes_ds is not None:
+        seeds = nodes_ds.select_columns([node_col]).map_batches(
+            lambda t: pa.table({
+                "node": t[node_col].cast(pa.string()),
+                "label": t[node_col].cast(pa.string()),
+            }), batch_format="pyarrow")
 
     if edges.count() == 0:
-        # empty-edge guard: hash joins on schema-less empty blocks fail
-        import ray.data as rd
-        return rd.from_arrow(pa.table({
-            "url": pa.array([], pa.string()),
-            "cluster_id": pa.array([], pa.string())}))
+        if seeds is None:
+            return rd.from_arrow(_LABEL_SCHEMA.empty_table()).map_batches(
+                _rename_out, batch_format="pyarrow")
+        return compact_nonempty(seeds, schema=_LABEL_SCHEMA).map_batches(
+            _rename_out, batch_format="pyarrow")
 
-    labels = (edges
-              .groupby("src")
-              .aggregate(Min("dst", alias_name="label"))
-              .map_batches(lambda t: pa.table({
-                  "node": t["src"].cast(pa.string()),
-                  "label": pa.compute.min_element_wise(
-                      t["src"].cast(pa.string()),
-                      t["label"].cast(pa.string())),
-              }), batch_format="pyarrow")
-              ).materialize()
+    base = (edges
+            .groupby("src")
+            .aggregate(Min("dst", alias_name="label"))
+            .map_batches(lambda t: pa.table({
+                "node": t["src"].cast(pa.string()),
+                "label": pa.compute.min_element_wise(
+                    t["src"].cast(pa.string()),
+                    t["label"].cast(pa.string())),
+            }), batch_format="pyarrow"))
+    if seeds is not None:
+        base = base.union(seeds)
+        base = (base.groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+                .map_batches(_cast_labels, batch_format="pyarrow"))
+    labels = compact_nonempty(base, schema=_LABEL_SCHEMA)
 
     prev_sig = None
     for _ in range(max_iters):
@@ -82,13 +109,22 @@ def connected_components(edges_ds, node_a: str = "url_a",
             "label": t["label"].cast(pa.string()),
         }), batch_format="pyarrow")
         combined = msgs.union(labels)
-        labels = (combined.groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  ).materialize()
-    return labels.map_batches(lambda t: pa.table({
-        "url": t["node"].cast(pa.string()),
-        "cluster_id": t["label"].cast(pa.string()),
-    }), batch_format="pyarrow")
+        labels = compact_nonempty(
+            combined.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_cast_labels, batch_format="pyarrow"),
+            schema=_LABEL_SCHEMA)
+    return labels.map_batches(_rename_out, batch_format="pyarrow")
+
+
+def _cast_labels(t: pa.Table) -> pa.Table:
+    return pa.table({"node": t["node"].cast(pa.string()),
+                     "label": t["label"].cast(pa.string())})
+
+
+def _rename_out(t: pa.Table) -> pa.Table:
+    return pa.table({"url": t["node"].cast(pa.string()),
+                     "cluster_id": t["label"].cast(pa.string())})
 
 
 def _label_signature(labels_ds) -> int:

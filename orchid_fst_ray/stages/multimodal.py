@@ -1,0 +1,249 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio are carried as ``binary`` columns with metadata columns
+alongside (format, width/height or sample-rate). Decode / resize /
+feature-extract / frame-sample are **actor-pool map_batches stages**
+(callable classes — per-actor setup in ``__init__``, per-batch work in
+``__call__``) sized with small batches because payload rows are wide.
+
+Container formats: PPM (P6) images and PCM16 WAV audio are decoded for
+real (pure numpy/struct — no external libs). Anything else
+(JPEG/PNG/MP3/...) raises ``NotImplementedError`` — the decode step is
+STUBBED for codecs that need external libraries (pillow/ffmpeg are not
+in this container); the Ray-side plumbing (schema, batch sizing, actor
+signature, output layout) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "synth_image_table", "synth_audio_table",
+    "ImageDecodeResize", "ImageMeanPoolFeatures", "AudioFrameSample",
+    "image_feature_pipeline", "audio_frame_pipeline",
+    "decode_ppm", "encode_ppm", "decode_wav_pcm16", "encode_wav_pcm16",
+]
+
+
+# ----------------------------------------------------------- codecs (real)
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """binary PPM (P6) → (h, w, 3) uint8. Real decoder (no stub)."""
+    if not data.startswith(b"P6"):
+        # STUB: external-codec formats (JPEG/PNG/...) need pillow,
+        # which is not in this container.
+        raise NotImplementedError(
+            "only PPM (P6) decode is implemented in-container; "
+            "JPEG/PNG decode requires an external library")
+    parts = data.split(b"\n", 3)
+    w, h = map(int, parts[1].split())
+    maxval = int(parts[2])
+    assert maxval == 255
+    return np.frombuffer(parts[3], dtype=np.uint8,
+                         count=h * w * 3).reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → minimal RIFF/WAVE PCM16 bytes."""
+    pcm = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+        16, 1, 1, rate, rate * 2, 2, 16, b"data", len(pcm))
+    return hdr + pcm
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono → (samples int16, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM16 WAV decode is implemented in-container")
+    fmt, ch, rate, bits = struct.unpack("<HHIxxxxxxH", data[20:36])
+    if fmt != 1 or ch != 1 or bits != 16:
+        raise NotImplementedError("only mono PCM16 supported")
+    assert data[36:40] == b"data"
+    (n,) = struct.unpack("<I", data[40:44])
+    return np.frombuffer(data, dtype="<i2", count=n // 2, offset=44), rate
+
+
+# ----------------------------------------------- deterministic fixtures
+
+def synth_image_table(sf_dir: str, size: int = 32):
+    """One deterministic PPM image per document id (seeded gradient +
+    id-keyed noise): (item_id, image: binary, format, width, height)."""
+    import ray.data as rd
+
+    def to_images(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = []
+        for i in ids:
+            rng = np.random.RandomState(0xC0FFEE ^ int(i))
+            base = np.linspace(0, 255, size, dtype=np.float64)
+            img = (base[None, :, None] * 0.5 + base[:, None, None] * 0.3
+                   + rng.randint(0, 64, (size, size, 3)))
+            blobs.append(encode_ppm(np.clip(img, 0, 255).astype(np.uint8)))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "image": pa.array(blobs, pa.binary()),
+            "format": pa.array(["ppm"] * len(ids), pa.string()),
+            "width": pa.array([size] * len(ids), pa.int32()),
+            "height": pa.array([size] * len(ids), pa.int32()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        to_images, batch_format="pyarrow")
+
+
+def synth_audio_table(sf_dir: str, seconds: float = 0.25,
+                      rate: int = 16000):
+    """One deterministic PCM16 WAV clip per document id (id-keyed sine
+    mix): (item_id, audio: binary, format, sample_rate, n_samples)."""
+    import ray.data as rd
+
+    def to_audio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        n = int(seconds * rate)
+        ts = np.arange(n) / rate
+        blobs = []
+        for i in ids:
+            f0 = 200.0 + (int(i) % 40) * 25.0
+            wave = (0.6 * np.sin(2 * np.pi * f0 * ts)
+                    + 0.3 * np.sin(2 * np.pi * 2 * f0 * ts))
+            blobs.append(encode_wav_pcm16(
+                (wave * 32000).astype(np.int16), rate))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "audio": pa.array(blobs, pa.binary()),
+            "format": pa.array(["wav"] * len(ids), pa.string()),
+            "sample_rate": pa.array([rate] * len(ids), pa.int32()),
+            "n_samples": pa.array([n] * len(ids), pa.int32()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        to_audio, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ actor-pool stages
+
+class ImageDecodeResize:
+    """Actor stage: decode PPM → nearest-neighbor resize → re-encode.
+
+    ``__init__`` precomputes the resampling index grids once per actor.
+    """
+
+    def __init__(self, out_size: int = 16) -> None:
+        self.out = out_size
+        self._grids: dict[tuple[int, int], tuple] = {}
+
+    def _grid(self, h: int, w: int):
+        g = self._grids.get((h, w))
+        if g is None:
+            ys = (np.arange(self.out) * h // self.out)
+            xs = (np.arange(self.out) * w // self.out)
+            g = self._grids[(h, w)] = (ys[:, None], xs[None, :])
+        return g
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = []
+        for raw in t["image"].to_pylist():
+            img = decode_ppm(raw)
+            ys, xs = self._grid(img.shape[0], img.shape[1])
+            blobs.append(encode_ppm(np.ascontiguousarray(img[ys, xs])))
+        return pa.table({
+            "item_id": t["item_id"],
+            "image": pa.array(blobs, pa.binary()),
+            "format": t["format"],
+            "width": pa.array([self.out] * t.num_rows, pa.int32()),
+            "height": pa.array([self.out] * t.num_rows, pa.int32()),
+        })
+
+
+class ImageMeanPoolFeatures:
+    """Actor stage: decode → grid mean-pool → flat float32 feature
+    vector (the in-container stand-in for a vision embedding model;
+    a real model would load weights in ``__init__``)."""
+
+    def __init__(self, grid: int = 4) -> None:
+        self.grid = grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = []
+        g = self.grid
+        for raw in t["image"].to_pylist():
+            img = decode_ppm(raw).astype(np.float32)
+            h, w, _ = img.shape
+            ph, pw = h // g, w // g
+            img = img[:ph * g, :pw * g]
+            pooled = img.reshape(g, ph, g, pw, 3).mean(axis=(1, 3))
+            feats.append(pooled.reshape(-1) / 255.0)
+        dim = 3 * g * g
+        return pa.table({
+            "item_id": t["item_id"],
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(feats) if feats else
+                         np.zeros(0, np.float32), pa.float32()), dim),
+        })
+
+
+class AudioFrameSample:
+    """Actor stage: decode WAV → fixed-stride frame energies
+    (RMS per frame) — the frame-sampling pattern for audio/video."""
+
+    def __init__(self, frame_ms: int = 25) -> None:
+        self.frame_ms = frame_ms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frames, energies = [], [], []
+        for i, raw in zip(t["item_id"].to_pylist(),
+                          t["audio"].to_pylist()):
+            samples, rate = decode_wav_pcm16(raw)
+            flen = max(1, rate * self.frame_ms // 1000)
+            n_frames = len(samples) // flen
+            x = samples[:n_frames * flen].astype(np.float64)
+            rms = np.sqrt((x.reshape(n_frames, flen) ** 2).mean(axis=1))
+            for f in range(n_frames):
+                ids.append(i)
+                frames.append(f)
+                energies.append(float(rms[f]))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame": pa.array(frames, pa.int32()),
+            "rms": pa.array(energies, pa.float64()),
+        })
+
+
+# ------------------------------------------------------------- pipelines
+
+def image_feature_pipeline(images_ds, out_size: int = 16, grid: int = 4,
+                           concurrency=(1, 4), batch_size: int = 64):
+    """decode+resize → mean-pool features, both actor pools with small
+    batches (wide binary rows). Output: (item_id, feature)."""
+    resized = images_ds.map_batches(
+        ImageDecodeResize, fn_constructor_kwargs={"out_size": out_size},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+    return resized.map_batches(
+        ImageMeanPoolFeatures, fn_constructor_kwargs={"grid": grid},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1).sort("item_id")
+
+
+def audio_frame_pipeline(audio_ds, frame_ms: int = 25,
+                         concurrency=(1, 4), batch_size: int = 64):
+    """decode → per-frame RMS rows. Output: (item_id, frame, rms)."""
+    return audio_ds.map_batches(
+        AudioFrameSample, fn_constructor_kwargs={"frame_ms": frame_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1).sort(["item_id", "frame"])

@@ -1,0 +1,92 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at the given sf dir; where an
+``oracle_sql()`` entry exists, runs it in DuckDB over the registered
+table views and compares row count, sorted column names, and an
+order-insensitive value hash. Mirrors the driver: columns sorted by
+name, rows sorted by all columns, values stringified then hashed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = df.astype(str).values.tolist()
+    rows.sort()
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return len(df), cols, h.hexdigest()[:16]
+
+
+def main(sf_dir: str, only: list[str]) -> int:
+    sys.path.insert(0, "/root/repo")
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, sql = e.queries(), e.oracle_sql()
+    fails = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            fails += 1
+            continue
+        wall = time.time() - t0
+        if name not in sql:
+            print(f"ok   {name}: rows={len(got)} (rows-only) "
+                  f"[{wall:.1f}s]")
+            continue
+        want = con.execute(sql[name]).df()
+        ng, cg, hg = canon(got)
+        nw, cw, hw = canon(want)
+        status = "ok  " if (ng, cg, hg) == (nw, cw, hw) else "FAIL"
+        if status == "FAIL":
+            fails += 1
+            print(f"{status} {name}: rows {ng}vs{nw} cols {cg}vs{cw} "
+                  f"hash {hg}vs{hw} [{wall:.1f}s]")
+        else:
+            print(f"{status} {name}: rows={ng} hash={hg} [{wall:.1f}s]")
+    ray.shutdown()
+    return fails
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(main(sf, sys.argv[2:]))
