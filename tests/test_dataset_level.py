@@ -1,0 +1,105 @@
+"""Dataset-level re-expressions of the reference's test suites
+(SURVEY.md §5): the golden fuzzy searches run through the *distributed*
+dictionary (ds.sort → per-partition FST build → automaton∩FST search),
+and the external-sort goldens run through ``sort_by_trimmed``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from orchid_fst_ray.stages.dictionary import (
+    build_dictionary, dictionary_items, search_dictionary,
+)
+from orchid_fst_ray.stages.sorting import sort_by_trimmed
+
+SORT_INPUT = ("/root/reference/src/main/fst/testdata/"
+              "large_file_sort_test1_input.txt")
+SORT_GOLD_KEEP = ("/root/reference/src/main/fst/testdata/"
+                  "large_file_sort_test1_standard_contain_empty.txt")
+SORT_GOLD_DROP = ("/root/reference/src/main/fst/testdata/"
+                  "large_file_sort_test1_standard_ignore_empty.txt")
+
+
+@pytest.fixture(scope="module")
+def words_index(ray_session, ref_words):
+    """The 82k-word dictionary as a distributed set-FST index."""
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array(sorted(set(ref_words)), pa.large_string())}))
+    return build_dictionary(ds.repartition(8), key_col="key",
+                            value_col=None).materialize()
+
+
+def test_dataset_fuzzy_golden_lev(words_index, golden_lev):
+    res = search_dictionary(words_index, "fuzzy", has_output=False,
+                            query="hair", d=2, damerau=False)
+    got = sorted(res.to_pandas()["key"].tolist())
+    assert len(got) == 214
+    assert got == sorted(golden_lev)
+
+
+def test_dataset_fuzzy_golden_damerau(words_index, golden_dl):
+    res = search_dictionary(words_index, "fuzzy", has_output=False,
+                            query="hair", d=2, damerau=True)
+    got = sorted(res.to_pandas()["key"].tolist())
+    assert len(got) == 220
+    assert got == sorted(golden_dl)
+
+
+def test_dataset_dictionary_roundtrip(words_index, ref_words):
+    """Every key is present; total item count matches the input set."""
+    items = dictionary_items(words_index, has_output=False)
+    assert items.count() == len(set(ref_words))
+    res = search_dictionary(words_index, "match", has_output=False,
+                            keys=["hair", "zebra", "nosuchword_xq"])
+    got = sorted(res.to_pandas()["key"].tolist())
+    expect = sorted(k for k in ["hair", "zebra"] if k in set(ref_words))
+    assert got == expect
+
+
+def test_dataset_prefix_and_range(words_index, ref_words):
+    words = sorted(set(ref_words))
+    pre = search_dictionary(words_index, "prefix", has_output=False,
+                            prefix="hair")
+    assert sorted(pre.to_pandas()["key"]) == [
+        w for w in words if w.startswith("hair")]
+    rng = search_dictionary(words_index, "range", has_output=False,
+                            min_key="hair", max_key="hat",
+                            min_inclusive=True, max_inclusive=False)
+    assert sorted(rng.to_pandas()["key"]) == [
+        w for w in words if "hair" <= w < "hat"]
+
+
+# ---------------------------------------------------------------- lfsort
+
+def _sort_fixture():
+    lines = open(SORT_INPUT, encoding="utf-8").read().splitlines()
+    return pa.table({
+        "line": pa.array(lines, pa.large_string()),
+        "lineno": pa.array(range(len(lines)), pa.int64()),
+    })
+
+
+def _golden(path):
+    return open(path, encoding="utf-8").read().splitlines()
+
+
+def test_sort_by_trimmed_keep_empty(ray_session):
+    """large_file_sorter_unittest keep-empty golden, as ds.sort."""
+    import ray.data as rd
+    ds = rd.from_arrow(_sort_fixture()).repartition(4)
+    got = sort_by_trimmed(ds, col="line", id_col="lineno")\
+        .to_pandas()["line"].tolist()
+    gold = _golden(SORT_GOLD_KEEP)
+    assert got == gold
+
+
+def test_sort_by_trimmed_drop_empty(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_sort_fixture()).repartition(4)
+    got = sort_by_trimmed(ds, col="line", id_col="lineno",
+                          drop_empty=True).to_pandas()["line"].tolist()
+    gold = _golden(SORT_GOLD_DROP)
+    assert got == gold

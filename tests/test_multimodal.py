@@ -1,0 +1,66 @@
+"""Multimodal stage tests: real PPM/WAV codecs, actor-pool pipelines,
+and the explicit external-codec stub behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from orchid_fst_ray.stages import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(2)
+    s = rng.randint(-30000, 30000, 1000).astype(np.int16)
+    got, rate = mm.decode_wav_pcm16(mm.encode_wav_pcm16(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(got, s)
+
+
+def test_external_codecs_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_ppm(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav_pcm16(b"ID3\x04 mp3-ish")
+
+
+def test_image_feature_pipeline(ray_session):
+    images = mm.synth_image_table(SF, size=32)
+    feats = mm.image_feature_pipeline(images, out_size=16, grid=4)
+    df = feats.to_pandas()
+    assert len(df) == 500
+    v = np.stack(df["feature"].to_numpy())
+    assert v.shape == (500, 48)
+    assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
+    # deterministic: same synth → same features
+    df2 = mm.image_feature_pipeline(
+        mm.synth_image_table(SF, size=32), out_size=16, grid=4).to_pandas()
+    assert np.allclose(np.stack(df2["feature"].to_numpy()), v)
+
+
+def test_resize_stage_semantics(ray_session):
+    images = mm.synth_image_table(SF, size=32).limit(8)
+    resized = images.map_batches(
+        mm.ImageDecodeResize(out_size=8), batch_format="pyarrow")
+    for b in resized.iter_batches(batch_format="pyarrow"):
+        for raw, w, h in zip(b["image"].to_pylist(), b["width"].to_pylist(),
+                             b["height"].to_pylist()):
+            img = mm.decode_ppm(raw)
+            assert img.shape == (8, 8, 3) and (w, h) == (8, 8)
+
+
+def test_audio_frame_pipeline(ray_session):
+    audio = mm.synth_audio_table(SF, seconds=0.1, rate=8000).limit(16)
+    frames = mm.audio_frame_pipeline(audio, frame_ms=25).to_pandas()
+    # 0.1 s at 25 ms frames → 4 frames per clip
+    assert len(frames) == 16 * 4
+    assert set(frames["frame"]) == {0, 1, 2, 3}
+    assert (frames["rms"] > 0).all()
