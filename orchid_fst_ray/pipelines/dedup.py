@@ -61,14 +61,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             "_h": pa.array(hash64(t[text_col]), pa.uint64()),
         })
 
-    def min_per_text(g: pd.DataFrame) -> pd.DataFrame:
+    def min_per_text(t: pa.Table) -> pa.Table:
+        # equal hashes are co-located by the range-partition sort; the
+        # pandas groupby verifies true text equality within the block
+        g = t.to_pandas()
         keep = g.groupby(text_col, sort=False)[id_col].min()
-        return pd.DataFrame({id_col: sorted(keep.tolist())})
+        return pa.table({id_col: pa.array(sorted(keep.tolist()),
+                                          pa.int64())})
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(add_hash, batch_format="pyarrow")
-            .groupby("_h")
-            .map_groups(min_per_text, batch_format="pandas"))
+            .sort("_h")
+            .map_batches(min_per_text, batch_size=None,
+                         batch_format="pyarrow"))
 
 
 # ------------------------------------------------------------------- minhash
@@ -144,36 +149,42 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).head(max_bucket)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
+    # One range-partition shuffle co-locates each bucket (equal sort
+    # keys land in one block — partition index is a pure function of
+    # the key), then every block processes ALL its buckets in one
+    # vectorized call — no per-group Python task overhead.
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+        sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.uint64).reshape(len(ids), n_perm)
         ia, ib, est = [], [], []
-        for i in range(n - 1):
-            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for j in hit:
-                ia.append(int(ids[i]))
-                ib.append(int(ids[i + 1 + j]))
-                est.append(float(eq[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+        bounds = np.concatenate((
+            [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            gi, gs = ids[s:e], sig[s:e]
+            gi, uniq = np.unique(gi, return_index=True)
+            gs = gs[uniq]
+            if len(gi) > max_bucket:
+                gi, gs = gi[:max_bucket], gs[:max_bucket]
+            for i in range(len(gi) - 1):
+                eq = (gs[i + 1:] == gs[i]).mean(axis=1)
+                for j in np.nonzero(eq >= threshold)[0]:
+                    ia.append(int(gi[i]))
+                    ib.append(int(gi[i + 1 + j]))
+                    est.append(float(eq[j]))
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "est_jaccard": pa.array(est, pa.float64())})
 
-    pairs = buckets.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = buckets.sort("bucket").map_batches(
+        block_pairs, batch_size=None, batch_format="pyarrow")
 
-    # the same pair fires in multiple bands: keep one copy
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        first, batch_format="pandas")
+    # the same pair fires in multiple bands: vectorized hash-aggregate
+    # dedup (the estimate is identical in every band)
+    from ray.data.aggregate import Min
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard"))
 
 
 # ------------------------------------------------------------------- simhash
@@ -232,24 +243,48 @@ def simhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).head(max_bucket)
-        ids = np.sort(g[id_col].to_numpy())
-        sh = g.set_index(id_col).loc[ids, "simhash"].to_numpy().astype(np.uint64)
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+        sh = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
         ia, ib, hd = [], [], []
-        for i in range(len(ids) - 1):
-            x = np.bitwise_xor(sh[i + 1:], sh[i])
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                ia.append(int(ids[i]))
-                ib.append(int(ids[i + 1 + j]))
-                hd.append(int(d[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hd})
+        bounds = np.concatenate((
+            [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            gi, uniq = np.unique(ids[s:e], return_index=True)
+            gh = sh[s:e][uniq]
+            if len(gi) > max_bucket:
+                gi, gh = gi[:max_bucket], gh[:max_bucket]
+            for i in range(len(gi) - 1):
+                x = np.bitwise_xor(gh[i + 1:], gh[i])
+                d = _popcount(x)
+                for j in np.nonzero(d <= max_hamming)[0]:
+                    ia.append(int(gi[i]))
+                    ib.append(int(gi[i + 1 + j]))
+                    hd.append(int(d[j]))
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "hamming": pa.array(hd, pa.int64())})
 
-    pairs = buckets.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = buckets.sort("bucket").map_batches(
+        block_pairs, batch_size=None, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 # ------------------------------------------------------------- ngram-jaccard
@@ -285,31 +320,38 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     postings = ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow")
 
-    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col])
-        if len(g) > max_posting or len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        rows = sorted(zip(g[id_col].tolist(), g["set"].tolist()))
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        shingle = np.asarray(t["shingle"].to_pylist(), dtype=np.uint64)
+        sets = t["set"].to_pylist()
         ia, ib, jc = [], [], []
-        for i in range(len(rows) - 1):
-            sa = set(rows[i][1])
-            for j in range(i + 1, len(rows)):
-                sb = set(rows[j][1])
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    ia.append(rows[i][0])
-                    ib.append(rows[j][0])
-                    jc.append(jac)
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": jc})
+        bounds = np.concatenate((
+            [0], np.flatnonzero(shingle[1:] != shingle[:-1]) + 1, [len(ids)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            gi, uniq = np.unique(ids[s:e], return_index=True)
+            if len(gi) > max_posting or len(gi) < 2:
+                continue
+            gsets = [set(sets[s + u]) for u in uniq]
+            for i in range(len(gi) - 1):
+                sa = gsets[i]
+                for j in range(i + 1, len(gi)):
+                    sb = gsets[j]
+                    inter = len(sa & sb)
+                    union = len(sa) + len(sb) - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= threshold:
+                        ia.append(int(gi[i]))
+                        ib.append(int(gi[j]))
+                        jc.append(jac)
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "jaccard": pa.array(jc, pa.float64())})
 
-    pairs = postings.groupby("shingle").map_groups(
-        posting_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = postings.sort("shingle").map_batches(
+        block_pairs, batch_size=None, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard"))
 
 
 # ---------------------------------------------------------------- embeddings

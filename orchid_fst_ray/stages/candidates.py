@@ -148,16 +148,18 @@ def generate_url_candidates(docs_ds, id_col: str = "url",
 
 
 def dedupe_pairs(pairs_ds, num_partitions: int = 16):
-    """SHUFFLE #2 (SURVEY.md §7.3): exact dedup of candidate pairs by the
-    canonical ``(url_a, url_b)`` id — hash-partitioned first-wins.
-    Multi-key blocking (host fuzzy + norm_url exact) can emit a pair
-    once per key; downstream scoring should see it once. ``source``
-    keeps the max priority (url-exact pairs bypass the score threshold)."""
-
-    def first_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        if "source" in g.columns:
-            g = g.sort_values("source", ascending=False)
-        return g.head(1)
+    """SHUFFLE #2 (SURVEY.md §7.3): exact dedup of candidate pairs by
+    the canonical ``(url_a, url_b)`` id — a vectorized hash aggregate
+    (the per-group-Python ``map_groups`` pattern is ~100x slower on
+    millions of 1-row groups). Multi-key blocking (host fuzzy +
+    norm_url exact) can emit a pair once per key; ``key_a``/``key_b``/
+    ``block_key`` are functions of the pair so Min is a no-op choice;
+    ``Max(source)`` keeps url-exact priority ('url' > 'fuzzy', pairs
+    from the norm-url block bypass the score threshold)."""
+    from ray.data.aggregate import Max, Min
 
     return (pairs_ds.groupby(["url_a", "url_b"])
-            .map_groups(first_of_group, batch_format="pandas"))
+            .aggregate(Min("key_a", alias_name="key_a"),
+                       Min("key_b", alias_name="key_b"),
+                       Min("block_key", alias_name="block_key"),
+                       Max("source", alias_name="source")))

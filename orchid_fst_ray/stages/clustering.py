@@ -78,6 +78,12 @@ def connected_components(edges_ds, node_a: str = "url_a",
         return compact_nonempty(seeds, schema=_LABEL_SCHEMA).map_batches(
             _rename_out, batch_format="pyarrow")
 
+    # The propagation loop runs over EDGE ENDPOINTS ONLY — seeds that
+    # never appear in an edge are singletons and cannot change label,
+    # so they skip the loop entirely and merge back in one final
+    # aggregate. At web scale most docs are singletons; keeping them
+    # out of the per-iteration shuffles is the difference between the
+    # loop scaling with |edges| vs |docs|.
     base = (edges
             .groupby("src")
             .aggregate(Min("dst", alias_name="label"))
@@ -87,11 +93,6 @@ def connected_components(edges_ds, node_a: str = "url_a",
                     t["src"].cast(pa.string()),
                     t["label"].cast(pa.string())),
             }), batch_format="pyarrow"))
-    if seeds is not None:
-        base = base.union(seeds)
-        base = (base.groupby("node")
-                .aggregate(Min("label", alias_name="label"))
-                .map_batches(_cast_labels, batch_format="pyarrow"))
     labels = compact_nonempty(base, schema=_LABEL_SCHEMA)
 
     prev_sig = None
@@ -114,6 +115,11 @@ def connected_components(edges_ds, node_a: str = "url_a",
             .aggregate(Min("label", alias_name="label"))
             .map_batches(_cast_labels, batch_format="pyarrow"),
             schema=_LABEL_SCHEMA)
+    if seeds is not None:
+        merged = (labels.union(seeds).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .map_batches(_cast_labels, batch_format="pyarrow"))
+        labels = compact_nonempty(merged, schema=_LABEL_SCHEMA)
     return labels.map_batches(_rename_out, batch_format="pyarrow")
 
 
