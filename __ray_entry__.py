@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             image_feature_pipeline, synth_image_table)
         return image_feature_pipeline(synth_image_table(sf_dir))
 
+    def multimodal_audio_frames(sf_dir: str):
+        from orchid_fst_ray.stages.multimodal import (
+            audio_frame_pipeline, synth_audio_table)
+        return audio_frame_pipeline(synth_audio_table(sf_dir))
+
     return {
         "dict_items": dict_items,
         "dict_match": dict_match,
@@ -215,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": doc_fingerprints,
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_frames": multimodal_audio_frames,
     }
 
 

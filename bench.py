@@ -31,24 +31,30 @@ def _init_ray(num_cpus: int) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-def _n_docs(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-
-
-def run_er_bench(sf_dir: str) -> tuple[float, int]:
-    """Headline: full ER pipeline, returns (wall_sec, n_docs)."""
+def run_er_bench(sf_dir: str) -> tuple[float, int, dict]:
+    """Headline: full ER pipeline over a realistic workload — up to 4
+    near-duplicate page variants per document (url noise + ≤2 title
+    edits, ground-truth entity = doc_id in the url path). Returns
+    (wall_sec, n_pages, quality)."""
     from orchid_fst_ray.pipelines.er import run_er
     from orchid_fst_ray.sources.pages import pages_from_documents
-    n = _n_docs(sf_dir)
     t0 = time.time()
-    pages = pages_from_documents(sf_dir, parallelism=NUM_CPUS)
+    pages = pages_from_documents(sf_dir, parallelism=NUM_CPUS, variants=4)
     res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
                  scorer_concurrency=(2, max(2, NUM_CPUS // 4)))
-    got = res["assignment"].count()
+    by_entity: dict[str, set] = {}
+    n = 0
+    for b in res["assignment"].iter_batches(batch_format="pyarrow"):
+        for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):
+            n += 1
+            ent = u.split("/doc/")[1].split("/")[0].split("?")[0]
+            by_entity.setdefault(ent, set()).add(c)
     wall = time.time() - t0
-    assert got == n, (got, n)
-    return wall, n
+    # recall proxy: entities whose variants all landed in one cluster
+    intact = sum(1 for cs in by_entity.values() if len(cs) == 1)
+    quality = {"n_entities": len(by_entity),
+               "entity_intact_rate": round(intact / len(by_entity), 4)}
+    return wall, n, quality
 
 
 def run_query_benches(sf_dir: str) -> dict[str, float]:
@@ -73,7 +79,7 @@ def run_query_benches(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     _init_ray(NUM_CPUS)
-    er_wall, n = run_er_bench(SF_DIR)
+    er_wall, n, quality = run_er_bench(SF_DIR)
     queries = {"er_end_to_end": round(er_wall, 3)}
     queries.update(run_query_benches(SF_DIR))
     docs_per_sec = round(n / er_wall, 2)
@@ -82,6 +88,8 @@ def main() -> None:
         "value": docs_per_sec,
         "unit": "docs/sec",
         "queries": queries,
+        "n_pages": n,
+        "quality": quality,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))
@@ -91,9 +99,10 @@ def main() -> None:
 
 def _scaling_child(num_cpus: int) -> None:
     _init_ray(num_cpus)
-    wall, n = run_er_bench(SF_DIR)
+    wall, n, quality = run_er_bench(SF_DIR)
     print(json.dumps({"num_cpus": num_cpus, "wall_sec": round(wall, 3),
-                      "docs_per_sec": round(n / wall, 2)}))
+                      "docs_per_sec": round(n / wall, 2),
+                      "n_pages": n, "quality": quality}))
     import ray
     ray.shutdown()
 

@@ -37,7 +37,8 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            checkpoint_dir: str | None = None,
            input_fingerprint: str = "",
            num_partitions: int = 16,
-           scorer_concurrency=(2, 8)) -> dict:
+           scorer_concurrency=(2, 8),
+           cluster_driver_threshold: int = 200_000) -> dict:
     """Run the pipeline; returns dict with ``assignment`` (url,
     cluster_id Dataset), intermediate datasets, lineage and metrics."""
     store = CheckpointStore(checkpoint_dir)
@@ -78,7 +79,8 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
         "clusters", fp_clusters,
         lambda: connected_components(
             scored, nodes_ds=docs, node_col="url",
-            num_partitions=num_partitions))
+            num_partitions=num_partitions,
+            driver_threshold=cluster_driver_threshold))
     metrics["clusters_resumed"] = resumed
     assignment = clusters
 

@@ -15,16 +15,17 @@ Scale/skew notes:
   index > i (DFS yields sorted keys, so we drop hits ≤ self), so each
   candidate pair is generated exactly once — no global pair-dedup
   shuffle needed for single-key blocking.
-- giant blocks (hot hosts) are bounded by ``max_block_pairs``: beyond
-  the cap the group emits only capped fan-out per key and records the
-  truncation in the ``truncated`` metric column. Round-2 path for
-  mega-blocks: replicate the block FST via ray.put and partition the
-  probe side (build once, probe in parallel).
+- per-key fan-out is bounded by ``max_pairs_per_key``;
+- giant blocks (hot hosts) take the mega-block path
+  (:func:`generate_hot_candidates`): the block FST is built once,
+  replicated via ray.put, and the probe side is partitioned across an
+  actor pool — build once, probe in parallel.
 """
 
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 from orchid_fst_ray.fst import FstBuilder, fuzzy_automaton
 
@@ -103,9 +104,18 @@ class BlockCandidates:
 def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         key_col: str = "doc_key", id_col: str = "url",
                         block_col: str = "host",
-                        max_pairs_per_key: int = 64):
+                        max_pairs_per_key: int = 64,
+                        hot_block_rows: int | None = 5000,
+                        num_partitions: int = 16):
     """docs(url, doc_key, host, ...) → candidate pairs
-    (url_a, url_b, key_a, key_b, block_key). One shuffle on the block key."""
+    (url_a, url_b, key_a, key_b, block_key). One shuffle on the block
+    key for normal blocks; blocks above ``hot_block_rows`` take the
+    mega-block path (:func:`generate_hot_candidates`): FST built once
+    per hot block, broadcast via ``ray.put``, probed by an actor pool —
+    so a hot host parallelizes across the cluster instead of
+    serializing in one giant group task (SURVEY.md §4.2 skew handling).
+    """
+    slim = docs_ds.select_columns([id_col, key_col, block_col])
     inst = BlockCandidates(d=d, damerau=damerau, key_col=key_col,
                            id_col=id_col, block_col=block_col,
                            max_pairs_per_key=max_pairs_per_key)
@@ -113,10 +123,184 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     def block_candidates(g):
         return inst(g)
 
-    return (docs_ds
-            .select_columns([id_col, key_col, block_col])
-            .groupby(block_col)
-            .map_groups(block_candidates, batch_format="pandas"))
+    hot_blocks: list = []
+    if hot_block_rows is not None:
+        from ray.data.aggregate import Count
+        sizes = slim.groupby(block_col).aggregate(Count(alias_name="n"))
+        # only the (few) hot block names come to the driver
+        hot_blocks = [r[block_col] for r in
+                      sizes.filter(expr=f"n > {hot_block_rows}").take_all()]
+
+    if not hot_blocks:
+        return (slim.groupby(block_col)
+                .map_groups(block_candidates, batch_format="pandas"))
+
+    hot_set = set(hot_blocks)
+
+    def split(keep_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.is_in(t[block_col].cast(pa.string()),
+                            value_set=pa.array(sorted(hot_set)))
+            return t.filter(mask if keep_hot else pc.invert(mask))
+        return fn
+
+    normal = (slim.map_batches(split(False), batch_format="pyarrow")
+              .groupby(block_col)
+              .map_groups(block_candidates, batch_format="pandas"))
+    hot = generate_hot_candidates(
+        slim.map_batches(split(True), batch_format="pyarrow"),
+        d=d, damerau=damerau, key_col=key_col, id_col=id_col,
+        block_col=block_col, max_pairs_per_key=max_pairs_per_key,
+        num_partitions=num_partitions)
+    return normal.union(hot)
+
+
+def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
+                            key_col: str = "doc_key", id_col: str = "url",
+                            block_col: str = "host",
+                            max_pairs_per_key: int = 64,
+                            num_partitions: int = 16,
+                            probe_concurrency=(2, 16)):
+    """Mega-block fuzzy candidates: per hot block build ONE set-FST over
+    its distinct keys (one task per block), broadcast the FST dict via
+    ``ray.put``, then probe every distinct (block, key) row in a
+    parallel actor pool — key pairs expand to url pairs with two hash
+    joins. A probe emits only matches ``mk > k`` (FST insertion order
+    is sorted, so lexicographic order == index order) — each key pair
+    exactly once, mirroring BlockCandidates' symmetric self-join.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from orchid_fst_ray.functions.blocks import compact_nonempty
+
+    from ray.data.aggregate import Count
+    keys_ds = compact_nonempty(
+        hot_docs
+        .groupby([block_col, key_col])
+        .aggregate(Count(alias_name="_n"))  # distinct (block, key)
+        .map_batches(lambda t: pa.table({
+            block_col: t[block_col].cast(pa.string()),
+            key_col: t[key_col].cast(pa.string())}),
+            batch_format="pyarrow"),
+        schema=pa.schema([(block_col, pa.string()),
+                          (key_col, pa.string())]))
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        keys = sorted(set(g[key_col].tolist()))
+        b = FstBuilder(has_output=False)
+        b.insert_many(keys)
+        return pd.DataFrame({block_col: [g[block_col].iloc[0]],
+                             "fst": [b.finish().to_bytes()]})
+
+    fst_rows = (keys_ds.groupby(block_col)
+                .map_groups(build, batch_format="pandas"))
+    fsts = {r[block_col]: r["fst"] for r in fst_rows.take_all()}
+    ref = ray.put(fsts)
+
+    class Probe:
+        def __init__(self, ref, d, damerau, cap):
+            from orchid_fst_ray.fst import Fst
+            self.fsts = {k: Fst.from_bytes(v)
+                         for k, v in ray.get(ref).items()}
+            self.d = d
+            self.damerau = damerau
+            self.cap = cap
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from orchid_fst_ray.fst import fuzzy_automaton
+            blocks, ka, kb = [], [], []
+            for blk, k in zip(t[block_col].to_pylist(),
+                              t[key_col].to_pylist()):
+                fst = self.fsts[blk]
+                aut = fuzzy_automaton(k, self.d, 0, self.damerau)
+                budget = self.cap
+                for mk, _ in fst.search(aut):
+                    if mk <= k:
+                        continue
+                    blocks.append(blk)
+                    ka.append(k)
+                    kb.append(mk)
+                    budget -= 1
+                    if budget <= 0:
+                        break
+            return pa.table({
+                block_col: pa.array(blocks, pa.string()),
+                "key_a": pa.array(ka, pa.string()),
+                "key_b": pa.array(kb, pa.string())})
+
+    key_pairs = keys_ds.map_batches(
+        Probe, fn_constructor_args=(ref, d, damerau, max_pairs_per_key),
+        batch_format="pyarrow", batch_size=256,
+        concurrency=probe_concurrency, num_cpus=1)
+
+    docs_small = compact_nonempty(
+        hot_docs.map_batches(lambda t: pa.table({
+            block_col: t[block_col].cast(pa.string()),
+            key_col: t[key_col].cast(pa.string()),
+            id_col: t[id_col].cast(pa.string())}),
+            batch_format="pyarrow"),
+        schema=pa.schema([(block_col, pa.string()),
+                          (key_col, pa.string()),
+                          (id_col, pa.string())]))
+
+    # expand key pairs to url pairs: two hash joins against the docs
+    a_side = docs_small.map_batches(
+        lambda t: pa.table({block_col: t[block_col],
+                            "key_a": t[key_col],
+                            "_ua": t[id_col]}), batch_format="pyarrow")
+    b_side = docs_small.map_batches(
+        lambda t: pa.table({block_col: t[block_col],
+                            "key_b": t[key_col],
+                            "_ub": t[id_col]}), batch_format="pyarrow")
+    kp = compact_nonempty(key_pairs, schema=pa.schema(
+        [(block_col, pa.string()), ("key_a", pa.string()),
+         ("key_b", pa.string())]))
+    j1 = kp.join(compact_nonempty(a_side), join_type="inner",
+                 num_partitions=num_partitions,
+                 on=(block_col, "key_a"))
+    fuzzy_pairs = compact_nonempty(j1).join(
+        compact_nonempty(b_side), join_type="inner",
+        num_partitions=num_partitions, on=(block_col, "key_b"))
+
+    def canon_fuzzy(t: pa.Table) -> pa.Table:
+        ua, ub = t["_ua"], t["_ub"]
+        lo = pc.min_element_wise(ua, ub)
+        hi = pc.max_element_wise(ua, ub)
+        swap = pc.greater(ua, ub)
+        return pa.table({
+            "url_a": lo, "url_b": hi,
+            "key_a": pc.if_else(swap, t["key_b"], t["key_a"]),
+            "key_b": pc.if_else(swap, t["key_a"], t["key_b"]),
+            "block_key": t[block_col],
+            "source": pa.array(["fuzzy"] * t.num_rows, pa.string()),
+        })
+
+    fuzzy_out = fuzzy_pairs.map_batches(canon_fuzzy, batch_format="pyarrow")
+
+    # exact-duplicate keys: urls sharing (block, key) pair up via a
+    # self-join (mirrors BlockCandidates' same-key pass)
+    dup = compact_nonempty(a_side).join(
+        compact_nonempty(a_side.map_batches(
+            lambda t: pa.table({block_col: t[block_col],
+                                "key_a": t["key_a"],
+                                "_ub": t["_ua"]}),
+            batch_format="pyarrow")),
+        join_type="inner", num_partitions=num_partitions,
+        on=(block_col, "key_a"))
+
+    def canon_dup(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["_ua"], t["_ub"])
+        t = t.filter(keep)
+        return pa.table({
+            "url_a": t["_ua"], "url_b": t["_ub"],
+            "key_a": t["key_a"], "key_b": t["key_a"],
+            "block_key": t[block_col],
+            "source": pa.array(["fuzzy"] * t.num_rows, pa.string()),
+        })
+
+    dup_out = dup.map_batches(canon_dup, batch_format="pyarrow")
+    return fuzzy_out.union(dup_out)
 
 
 def generate_url_candidates(docs_ds, id_col: str = "url",

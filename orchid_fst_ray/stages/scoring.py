@@ -6,11 +6,13 @@ Ray actor pool (``map_batches(PairScorer, concurrency=N)``), with the
 vectorized scorer backend prepared once per actor in ``__init__``.
 
 Backend: an in-process DuckDB connection evaluates
-``jaro_winkler_similarity`` / ``levenshtein`` over the zero-copy Arrow
-batch (C++ vectorized; no per-row Python). DuckDB's levenshtein
-matches the reference's character-level distance exactly (validated
-against the 214-hit golden set in tests). A pure-Python fallback keeps
-the stage functional if DuckDB is unavailable.
+``jaro_winkler_similarity`` / ``levenshtein`` / ``damerau_levenshtein``
+over the zero-copy Arrow batch (C++ vectorized; no per-row Python on
+ASCII keys). DuckDB's distances are byte-oriented, so rows containing
+non-ASCII keys (CJK — where the reference counts UTF-8 characters,
+automaton.cpp:242-243) are recomputed with the exact Python OSA kernel;
+the hybrid is validated in tests/test_scoring.py. A pure-Python
+fallback keeps the stage functional if DuckDB is unavailable.
 """
 
 from __future__ import annotations
@@ -33,8 +35,16 @@ class PairScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _append_float(batch, {"jw": [], "edit_sim": [], "score": []})
+            out = _append_float(batch, {"jw": [], "edit_sim": []})
+            out = out.append_column("char_dist", pa.array([], pa.int32()))
+            return _append_float(out, {"score": []})
+        import pyarrow.compute as pc
+        from orchid_fst_ray.fst import damerau_levenshtein_osa
         if self._con is not None:
+            # all-ASCII rows (strlen bytes == length chars)
+            # get the exact OSA distance from DuckDB's vectorized C++
+            # damerau_levenshtein; only non-ASCII rows (CJK etc., where
+            # DuckDB counts bytes) fall back to the Python OSA kernel.
             scores = self._con.execute(
                 """
                 SELECT jaro_winkler_similarity(key_a, key_b) AS jw,
@@ -42,11 +52,23 @@ class PairScorer:
                             THEN 1.0
                             ELSE 1.0 - levenshtein(key_a, key_b)::DOUBLE
                                  / greatest(length(key_a), length(key_b))
-                       END AS edit_sim
+                       END AS edit_sim,
+                       CASE WHEN strlen(key_a) = length(key_a)
+                             AND strlen(key_b) = length(key_b)
+                            THEN damerau_levenshtein(key_a, key_b)
+                            ELSE -1 END AS dl
                 FROM batch
                 """).arrow()
             jw = scores["jw"]
             es = scores["edit_sim"]
+            dl = scores["dl"].to_pylist()
+            if any(d < 0 for d in dl):
+                ka = batch["key_a"].to_pylist()
+                kb = batch["key_b"].to_pylist()
+                dl = [d if d >= 0 else damerau_levenshtein_osa(
+                    a or "", b or "")
+                    for d, a, b in zip(dl, ka, kb)]
+            cd = pa.array(dl, pa.int32())
         else:  # pragma: no cover
             from orchid_fst_ray.fst import levenshtein
             ka = batch["key_a"].to_pylist()
@@ -56,16 +78,9 @@ class PairScorer:
                 1.0 if max(len(a), len(b)) == 0
                 else 1.0 - levenshtein(a, b) / max(len(a), len(b))
                 for a, b in zip(ka, kb)])
-        import pyarrow.compute as pc
-        # exact character-level OSA distance (UTF-8-character semantics,
-        # like the blocking automaton; DuckDB similarity fns are
-        # byte-oriented and under-score CJK keys)
-        from orchid_fst_ray.fst import damerau_levenshtein_osa
-        ka = batch["key_a"].to_pylist()
-        kb = batch["key_b"].to_pylist()
-        cd = pa.array(
-            [0 if a == b else damerau_levenshtein_osa(a or "", b or "")
-             for a, b in zip(ka, kb)], pa.int32())
+            cd = pa.array(
+                [0 if a == b else damerau_levenshtein_osa(a or "", b or "")
+                 for a, b in zip(ka, kb)], pa.int32())
         w = self.jw_weight
         score = pc.add(pc.multiply(pc.cast(jw, pa.float64()), w),
                        pc.multiply(pc.cast(es, pa.float64()), 1.0 - w))

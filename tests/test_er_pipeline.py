@@ -64,6 +64,42 @@ def test_clusters_are_transitive_vs_union_find(er_result):
         assert got[node] == root
 
 
+def test_distributed_label_propagation_path(er_result):
+    """Force the distributed min-label loop (driver_threshold=0) and
+    assert it produces the same assignment as the fast path."""
+    from orchid_fst_ray.stages.clustering import connected_components
+    from orchid_fst_ray.pipelines.er import assignment_from_components
+    cc = connected_components(
+        er_result["scored"], nodes_ds=er_result["docs"], node_col="url",
+        num_partitions=4, driver_threshold=0)
+    got = assignment_from_components(cc)
+    assert got == er_result["assign_dict"]
+
+
+def test_hot_block_path_equals_normal_path(ray_session, fixture):
+    """The mega-block (broadcast-FST actor-pool) candidate path must
+    generate the same candidate pairs as the per-group path."""
+    import ray.data as rd
+    from orchid_fst_ray.stages.candidates import generate_candidates
+    from orchid_fst_ray.stages.extract import ExtractNormalize
+    pages = rd.from_arrow(fixture["pages"]).repartition(4)
+    docs = pages.map_batches(ExtractNormalize(),
+                             batch_format="pyarrow").materialize()
+
+    def pair_set(ds):
+        out = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out |= set(zip(b["url_a"].to_pylist(), b["url_b"].to_pylist()))
+        return out
+
+    normal = pair_set(generate_candidates(docs, d=2, damerau=True,
+                                          hot_block_rows=None))
+    # force EVERY block through the hot path
+    hot = pair_set(generate_candidates(docs, d=2, damerau=True,
+                                       hot_block_rows=1, num_partitions=4))
+    assert hot == normal
+
+
 def test_checkpoint_resume(ray_session, fixture, tmp_path):
     import ray.data as rd
     pages = rd.from_arrow(fixture["pages"]).repartition(4)

@@ -1,0 +1,51 @@
+"""PairScorer tests: the hybrid DuckDB/Python distance path must give
+exact character-level OSA distances for ASCII and CJK alike."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from orchid_fst_ray.fst import damerau_levenshtein_osa
+from orchid_fst_ray.stages.scoring import PairScorer
+
+
+def _batch(pairs):
+    return pa.table({
+        "url_a": pa.array([f"a{i}" for i in range(len(pairs))]),
+        "url_b": pa.array([f"b{i}" for i in range(len(pairs))]),
+        "key_a": pa.array([p[0] for p in pairs], pa.large_string()),
+        "key_b": pa.array([p[1] for p in pairs], pa.large_string()),
+    })
+
+
+def test_char_dist_exact_ascii_and_cjk():
+    pairs = [
+        ("red widget", "red widgit"),   # ascii, transposition → 1
+        ("hair", "hiar"),               # ascii transposition → 1
+        ("中国人民", "中国心"),           # CJK: 2 chars, not 6 bytes
+        ("café", "cafe"),               # accented: 1 char
+        ("same key", "same key"),       # identical → 0
+        ("", "abc"),
+    ]
+    out = PairScorer()(_batch(pairs))
+    got = out["char_dist"].to_pylist()
+    expect = [damerau_levenshtein_osa(a, b) for a, b in pairs]
+    assert got == expect
+    assert got[2] == 2 and got[3] == 1  # the byte-vs-char traps
+
+
+def test_scores_monotone_and_bounded():
+    pairs = [("abcdef", "abcdef"), ("abcdef", "abcdxf"),
+             ("abcdef", "zzzzzz")]
+    out = PairScorer()(_batch(pairs))
+    s = out["score"].to_pylist()
+    assert s[0] > s[1] > s[2]
+    assert all(0.0 <= x <= 1.0 for x in s)
+    assert out["jw"].to_pylist()[0] == 1.0
+    assert out["edit_sim"].to_pylist()[0] == 1.0
+
+
+def test_empty_batch():
+    out = PairScorer()(_batch([]))
+    assert out.num_rows == 0
+    assert {"jw", "edit_sim", "char_dist", "score"} <= set(out.column_names)
