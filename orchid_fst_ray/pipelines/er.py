@@ -3,7 +3,8 @@
 pages(url, warc_ts, html, text, lang)
   → ExtractNormalize (stateless map_batches; html dropped immediately)
   → blocking on normalized host + per-block FST build + fuzzy
-    candidate generation (one shuffle)
+    candidate generation (one shuffle; same-norm-url exact pairs fold
+    into the same pass; hot blocks probe via a broadcast-FST actor pool)
   → PairScorer actor pool (Jaro-Winkler + edit similarity) + threshold
   → connected components via iterative min-label propagation
   → (url, cluster_id) assignment; singletons keep their own url.
@@ -19,9 +20,7 @@ import time
 
 import pyarrow as pa
 
-from orchid_fst_ray.stages.candidates import (
-    dedupe_pairs, generate_candidates, generate_url_candidates,
-)
+from orchid_fst_ray.stages.candidates import dedupe_pairs, generate_candidates
 from orchid_fst_ray.stages.clustering import connected_components
 from orchid_fst_ray.stages.extract import EXTRACTOR_VERSION, ExtractNormalize
 from orchid_fst_ray.stages.scoring import score_pairs
@@ -38,6 +37,7 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            input_fingerprint: str = "",
            num_partitions: int = 16,
            scorer_concurrency=(2, 8),
+           hot_block_rows: int | None = 1024,
            cluster_driver_threshold: int = 200_000) -> dict:
     """Run the pipeline; returns dict with ``assignment`` (url,
     cluster_id Dataset), intermediate datasets, lineage and metrics."""
@@ -59,8 +59,10 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
     candidates, resumed = store.run_stage(
         "candidates", fp_cand,
         lambda: dedupe_pairs(
-            generate_candidates(docs, d=d, damerau=damerau)
-            .union(generate_url_candidates(docs)),
+            generate_candidates(docs, d=d, damerau=damerau,
+                                hot_block_rows=hot_block_rows,
+                                num_partitions=num_partitions,
+                                url_col="norm_url"),
             num_partitions=num_partitions))
     metrics["candidates_resumed"] = resumed
 

@@ -41,7 +41,8 @@ class BlockCandidates:
                  same_prefix_len: int = 0,
                  key_col: str = "doc_key", id_col: str = "url",
                  block_col: str = "host",
-                 max_pairs_per_key: int = 64) -> None:
+                 max_pairs_per_key: int = 64,
+                 url_col: str | None = None) -> None:
         self.d = d
         self.damerau = damerau
         self.same_prefix_len = same_prefix_len
@@ -49,6 +50,7 @@ class BlockCandidates:
         self.id_col = id_col
         self.block_col = block_col
         self.max_pairs_per_key = max_pairs_per_key
+        self.url_col = url_col
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         key_col, id_col = self.key_col, self.id_col
@@ -93,11 +95,35 @@ class BlockCandidates:
                     out_b.append(ids[j])
                     out_ka.append(k)
                     out_kb.append(k)
-        return pd.DataFrame({
-            "url_a": out_a, "url_b": out_b,
-            "key_a": out_ka, "key_b": out_kb,
-            "block_key": [block] * len(out_a),
-            "source": ["fuzzy"] * len(out_a),
+        src = ["fuzzy"] * len(out_a)
+        # same-normalized-url pairs fold into the same block pass
+        # (norm_url starts with the host, so they always co-group) —
+        # saves a whole extra sort over the docs table
+        if self.url_col is not None and len(g):
+            by_url: dict[str, list] = {}
+            for u, i, k in zip(g[self.url_col].tolist(),
+                               g[id_col].tolist(), g[key_col].tolist()):
+                by_url.setdefault(u, []).append((i, k))
+            for u, rows in by_url.items():
+                if len(rows) < 2:
+                    continue
+                rows = sorted(rows)
+                for i in range(len(rows) - 1):
+                    for j in range(i + 1, len(rows)):
+                        out_a.append(rows[i][0])
+                        out_b.append(rows[j][0])
+                        out_ka.append(rows[i][1])
+                        out_kb.append(rows[j][1])
+                        src.append("url")
+        # return Arrow (not pandas) so unions with the hot/url paths
+        # keep a homogeneous block type for downstream shuffles
+        return pa.table({
+            "url_a": pa.array(out_a, pa.string()),
+            "url_b": pa.array(out_b, pa.string()),
+            "key_a": pa.array(out_ka, pa.string()),
+            "key_b": pa.array(out_kb, pa.string()),
+            "block_key": pa.array([block] * len(out_a), pa.string()),
+            "source": pa.array(src, pa.string()),
         })
 
 
@@ -106,7 +132,8 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         block_col: str = "host",
                         max_pairs_per_key: int = 64,
                         hot_block_rows: int | None = 5000,
-                        num_partitions: int = 16):
+                        num_partitions: int = 16,
+                        url_col: str | None = None):
     """docs(url, doc_key, host, ...) → candidate pairs
     (url_a, url_b, key_a, key_b, block_key). One shuffle on the block
     key for normal blocks; blocks above ``hot_block_rows`` take the
@@ -114,11 +141,16 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     per hot block, broadcast via ``ray.put``, probed by an actor pool —
     so a hot host parallelizes across the cluster instead of
     serializing in one giant group task (SURVEY.md §4.2 skew handling).
+
+    ``url_col``: also emit exact same-normalized-url pairs
+    (``source='url'``) within the same block pass.
     """
-    slim = docs_ds.select_columns([id_col, key_col, block_col])
+    cols = [id_col, key_col, block_col] + ([url_col] if url_col else [])
+    slim = docs_ds.select_columns(cols)
     inst = BlockCandidates(d=d, damerau=damerau, key_col=key_col,
                            id_col=id_col, block_col=block_col,
-                           max_pairs_per_key=max_pairs_per_key)
+                           max_pairs_per_key=max_pairs_per_key,
+                           url_col=url_col)
 
     def block_candidates(g):
         return inst(g)
@@ -152,7 +184,7 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         slim.map_batches(split(True), batch_format="pyarrow"),
         d=d, damerau=damerau, key_col=key_col, id_col=id_col,
         block_col=block_col, max_pairs_per_key=max_pairs_per_key,
-        num_partitions=num_partitions)
+        num_partitions=num_partitions, url_col=url_col)
     return normal.union(hot)
 
 
@@ -161,30 +193,34 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             block_col: str = "host",
                             max_pairs_per_key: int = 64,
                             num_partitions: int = 16,
-                            probe_concurrency=(2, 16)):
+                            probe_concurrency=(2, 16),
+                            url_col: str | None = None):
     """Mega-block fuzzy candidates: per hot block build ONE set-FST over
     its distinct keys (one task per block), broadcast the FST dict via
-    ``ray.put``, then probe every distinct (block, key) row in a
-    parallel actor pool — key pairs expand to url pairs with two hash
-    joins. A probe emits only matches ``mk > k`` (FST insertion order
-    is sorted, so lexicographic order == index order) — each key pair
+    ``ray.put``, then probe (block, key) rows in a parallel actor pool
+    (per-batch deduped; cross-batch repeats collapse in the downstream
+    pair dedup) — key pairs expand to url pairs with two hash joins.
+    A probe emits only matches ``mk > k`` (FST insertion order is
+    sorted, so lexicographic order == index order) — each key pair
     exactly once, mirroring BlockCandidates' symmetric self-join.
+    Same-key and same-norm-url url pairs come from one range-partition
+    sort + vectorized block pass each (no per-group tasks).
     """
     import ray
     import pyarrow.compute as pc
     from orchid_fst_ray.functions.blocks import compact_nonempty
 
-    from ray.data.aggregate import Count
-    keys_ds = compact_nonempty(
-        hot_docs
-        .groupby([block_col, key_col])
-        .aggregate(Count(alias_name="_n"))  # distinct (block, key)
-        .map_batches(lambda t: pa.table({
-            block_col: t[block_col].cast(pa.string()),
-            key_col: t[key_col].cast(pa.string())}),
+    docs_small = compact_nonempty(
+        hot_docs.map_batches(lambda t: pa.table(
+            {block_col: t[block_col].cast(pa.string()),
+             key_col: t[key_col].cast(pa.string()),
+             id_col: t[id_col].cast(pa.string())}
+            | ({url_col: t[url_col].cast(pa.string())} if url_col else {})),
             batch_format="pyarrow"),
         schema=pa.schema([(block_col, pa.string()),
-                          (key_col, pa.string())]))
+                          (key_col, pa.string()),
+                          (id_col, pa.string())]
+                         + ([(url_col, pa.string())] if url_col else [])))
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
         keys = sorted(set(g[key_col].tolist()))
@@ -193,7 +229,8 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         return pd.DataFrame({block_col: [g[block_col].iloc[0]],
                              "fst": [b.finish().to_bytes()]})
 
-    fst_rows = (keys_ds.groupby(block_col)
+    fst_rows = (docs_small.select_columns([block_col, key_col])
+                .groupby(block_col)
                 .map_groups(build, batch_format="pandas"))
     fsts = {r[block_col]: r["fst"] for r in fst_rows.take_all()}
     ref = ray.put(fsts)
@@ -210,8 +247,12 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         def __call__(self, t: pa.Table) -> pa.Table:
             from orchid_fst_ray.fst import fuzzy_automaton
             blocks, ka, kb = [], [], []
+            seen = set()
             for blk, k in zip(t[block_col].to_pylist(),
                               t[key_col].to_pylist()):
+                if (blk, k) in seen:  # batch-local distinct probe
+                    continue
+                seen.add((blk, k))
                 fst = self.fsts[blk]
                 aut = fuzzy_automaton(k, self.d, 0, self.damerau)
                 budget = self.cap
@@ -229,20 +270,10 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                 "key_a": pa.array(ka, pa.string()),
                 "key_b": pa.array(kb, pa.string())})
 
-    key_pairs = keys_ds.map_batches(
+    key_pairs = docs_small.select_columns([block_col, key_col]).map_batches(
         Probe, fn_constructor_args=(ref, d, damerau, max_pairs_per_key),
         batch_format="pyarrow", batch_size=256,
         concurrency=probe_concurrency, num_cpus=1)
-
-    docs_small = compact_nonempty(
-        hot_docs.map_batches(lambda t: pa.table({
-            block_col: t[block_col].cast(pa.string()),
-            key_col: t[key_col].cast(pa.string()),
-            id_col: t[id_col].cast(pa.string())}),
-            batch_format="pyarrow"),
-        schema=pa.schema([(block_col, pa.string()),
-                          (key_col, pa.string()),
-                          (id_col, pa.string())]))
 
     # expand key pairs to url pairs: two hash joins against the docs
     a_side = docs_small.map_batches(
@@ -278,29 +309,58 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
 
     fuzzy_out = fuzzy_pairs.map_batches(canon_fuzzy, batch_format="pyarrow")
 
-    # exact-duplicate keys: urls sharing (block, key) pair up via a
-    # self-join (mirrors BlockCandidates' same-key pass)
-    dup = compact_nonempty(a_side).join(
-        compact_nonempty(a_side.map_batches(
-            lambda t: pa.table({block_col: t[block_col],
-                                "key_a": t["key_a"],
-                                "_ub": t["_ua"]}),
-            batch_format="pyarrow")),
-        join_type="inner", num_partitions=num_partitions,
-        on=(block_col, "key_a"))
+    # exact-duplicate keys (and, if url_col given, same-norm-url pairs):
+    # one range-partition sort each + vectorized within-block pairing —
+    # mirrors BlockCandidates' same-key / same-url passes without
+    # per-group tasks or a hash-join actor pool
+    out = fuzzy_out.union(_equal_value_pairs(
+        docs_small, block_col, key_col, key_col, id_col, "fuzzy"))
+    if url_col is not None:
+        out = out.union(_equal_value_pairs(
+            docs_small, block_col, url_col, key_col, id_col, "url"))
+    return out
 
-    def canon_dup(t: pa.Table) -> pa.Table:
-        keep = pc.less(t["_ua"], t["_ub"])
-        t = t.filter(keep)
+
+def _equal_value_pairs(docs_small, block_col: str, eq_col: str,
+                       key_col: str, id_col: str, source: str):
+    """All (url_a < url_b) pairs of rows sharing (block, eq_col) —
+    sort co-locates equal values; each block pairs its runs in one
+    vectorized pass."""
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        eq = t[eq_col].to_pylist()
+        blocks = t[block_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        keys = t[key_col].to_pylist()
+        a, b, ka, kb, blk = [], [], [], [], []
+        n = len(eq)
+        s = 0
+        while s < n:
+            e = s
+            while e < n and eq[e] == eq[s] and blocks[e] == blocks[s]:
+                e += 1
+            if e - s > 1:
+                rows = sorted(set(zip(ids[s:e], keys[s:e])))
+                for i in range(len(rows) - 1):
+                    for j in range(i + 1, len(rows)):
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        ka.append(rows[i][1])
+                        kb.append(rows[j][1])
+                        blk.append(blocks[s])
+            s = e
         return pa.table({
-            "url_a": t["_ua"], "url_b": t["_ub"],
-            "key_a": t["key_a"], "key_b": t["key_a"],
-            "block_key": t[block_col],
-            "source": pa.array(["fuzzy"] * t.num_rows, pa.string()),
+            "url_a": pa.array(a, pa.string()),
+            "url_b": pa.array(b, pa.string()),
+            "key_a": pa.array(ka, pa.string()),
+            "key_b": pa.array(kb, pa.string()),
+            "block_key": pa.array(blk, pa.string()),
+            "source": pa.array([source] * len(a), pa.string()),
         })
 
-    dup_out = dup.map_batches(canon_dup, batch_format="pyarrow")
-    return fuzzy_out.union(dup_out)
+    return (docs_small.sort([block_col, eq_col])
+            .map_batches(block_pairs, batch_size=None,
+                         batch_format="pyarrow"))
 
 
 def generate_url_candidates(docs_ds, id_col: str = "url",
@@ -308,27 +368,49 @@ def generate_url_candidates(docs_ds, id_col: str = "url",
                             key_col: str = "doc_key"):
     """Second blocking pass: docs sharing a *normalized url* are the same
     crawled resource — pair them regardless of text distance. Emits the
-    same pair schema with score-bypass marker ``source='url'``."""
+    same pair schema with score-bypass marker ``source='url'``.
 
-    def url_group(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[id_col].tolist(), g[key_col].tolist()))
-        a, b, ka, kb = [], [], [], []
-        for i in range(len(rows) - 1):
-            for j in range(i + 1, len(rows)):
-                a.append(rows[i][0])
-                b.append(rows[j][0])
-                ka.append(rows[i][1])
-                kb.append(rows[j][1])
-        return pd.DataFrame({
-            "url_a": a, "url_b": b, "key_a": ka, "key_b": kb,
-            "block_key": [g[url_col].iloc[0]] * len(a),
-            "source": ["url"] * len(a),
+    One range-partition sort co-locates each norm_url; every block then
+    pairs ALL its (tiny) groups in one vectorized call — per-group
+    ``map_groups`` tasks would dominate wall time at millions of
+    mostly-singleton urls."""
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        import numpy as np
+        urls = t[url_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        keys = t[key_col].to_pylist()
+        a, b, ka, kb, blk = [], [], [], [], []
+        n = len(urls)
+        s = 0
+        while s < n:
+            e = s
+            while e < n and urls[e] == urls[s]:
+                e += 1
+            if e - s > 1:
+                rows = sorted(zip(ids[s:e], keys[s:e]))
+                for i in range(len(rows) - 1):
+                    for j in range(i + 1, len(rows)):
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        ka.append(rows[i][1])
+                        kb.append(rows[j][1])
+                        blk.append(urls[s])
+            s = e
+        return pa.table({
+            "url_a": pa.array(a, pa.string()),
+            "url_b": pa.array(b, pa.string()),
+            "key_a": pa.array(ka, pa.string()),
+            "key_b": pa.array(kb, pa.string()),
+            "block_key": pa.array(blk, pa.string()),
+            "source": pa.array(["url"] * len(a), pa.string()),
         })
 
     return (docs_ds
             .select_columns([id_col, key_col, url_col])
-            .groupby(url_col)
-            .map_groups(url_group, batch_format="pandas"))
+            .sort(url_col)
+            .map_batches(block_pairs, batch_size=None,
+                         batch_format="pyarrow"))
 
 
 def dedupe_pairs(pairs_ds, num_partitions: int = 16):
