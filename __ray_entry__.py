@@ -132,6 +132,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  query=_FUZZY_QUERY, d=2,
                                  damerau=True).sort("key")
 
+    def _setop_sides(sf_dir: str):
+        import ray.data as rd
+        from ray.data.aggregate import Max, Min
+        part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_name", "p_partkey"])
+        left = (part.filter(expr="p_name < 'm'")
+                .groupby("p_name")
+                .aggregate(Max("p_partkey", alias_name="value"))
+                .map_batches(lambda t: pa.table(
+                    {"key": t["p_name"].cast(pa.large_string()),
+                     "value": t["value"].cast(pa.int64())}),
+                    batch_format="pyarrow"))
+        right = (part.filter(expr="p_name >= 'f'")
+                 .groupby("p_name")
+                 .aggregate(Min("p_partkey", alias_name="value"))
+                 .map_batches(lambda t: pa.table(
+                     {"key": t["p_name"].cast(pa.large_string()),
+                      "value": t["value"].cast(pa.int64())}),
+                     batch_format="pyarrow"))
+        return left, right
+
+    def dict_union_q(sf_dir: str):
+        from orchid_fst_ray.stages.setops import dict_union
+        return dict_union(*_setop_sides(sf_dir)).sort("key")
+
+    def dict_intersect_q(sf_dir: str):
+        from orchid_fst_ray.stages.setops import dict_intersect
+        return dict_intersect(*_setop_sides(sf_dir)).sort("key")
+
+    def dict_difference_q(sf_dir: str):
+        from orchid_fst_ray.stages.setops import dict_difference
+        return dict_difference(*_setop_sides(sf_dir)).sort("key")
+
+    def events_window(sf_dir: str):
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import tumbling_window_stats
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return tumbling_window_stats(ev).sort(["window_start",
+                                               "event_type"])
+
+    def events_sessions(sf_dir: str):
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import sessionize
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return sessionize(ev).sort(["user_id", "session_id"])
+
     def sort_lines(sf_dir: str):
         return sort_by_trimmed(_docs(sf_dir), col="text", id_col="doc_id")
 
@@ -205,6 +251,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_range": dict_range,
         "dict_fuzzy_lev": dict_fuzzy_lev,
         "dict_fuzzy_damerau": dict_fuzzy_damerau,
+        "dict_union": dict_union_q,
+        "dict_intersect": dict_intersect_q,
+        "dict_difference": dict_difference_q,
+        "events_window": events_window,
+        "events_sessions": events_sessions,
         "sort_lines": sort_lines,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -261,6 +312,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT p_name AS key FROM part "
             f"WHERE levenshtein(p_name, '{_FUZZY_QUERY}') <= 2 "
             "ORDER BY key"),
+        "dict_union": """
+            WITH l AS (SELECT p_name AS key, max(p_partkey) AS value
+                       FROM part WHERE p_name < 'm' GROUP BY p_name),
+                 r AS (SELECT p_name AS key, min(p_partkey) AS value
+                       FROM part WHERE p_name >= 'f' GROUP BY p_name)
+            SELECT coalesce(l.key, r.key) AS key,
+                   coalesce(r.value, l.value) AS value
+            FROM l FULL OUTER JOIN r ON l.key = r.key ORDER BY key""",
+        "dict_intersect": """
+            WITH l AS (SELECT p_name AS key, max(p_partkey) AS value
+                       FROM part WHERE p_name < 'm' GROUP BY p_name),
+                 r AS (SELECT p_name AS key FROM part
+                       WHERE p_name >= 'f' GROUP BY p_name)
+            SELECT l.key AS key, l.value AS value
+            FROM l JOIN r ON l.key = r.key
+            ORDER BY l.key""",
+        "dict_difference": """
+            WITH l AS (SELECT p_name AS key, max(p_partkey) AS value
+                       FROM part WHERE p_name < 'm' GROUP BY p_name)
+            SELECT key, value FROM l
+            WHERE key NOT IN (SELECT DISTINCT p_name FROM part
+                              WHERE p_name >= 'f')
+            ORDER BY key""",
+        "events_window": """
+            SELECT date_trunc('minute', ts) AS window_start, event_type,
+                   count(*) AS n_events, min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM o)
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
         "sort_lines": ("SELECT doc_id, text FROM documents "
                        "ORDER BY trim(text), doc_id"),
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "

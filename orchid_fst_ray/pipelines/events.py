@@ -1,0 +1,95 @@
+"""Event-stream operators over the ``events`` table.
+
+The reference has no windows/streaming (SURVEY.md §2.5); tumbling
+windows are the dataset-level analogue this engine adds for
+training-data telemetry: vectorized timestamp truncation inside
+``map_batches`` (pre-aggregation happens per block inside Ray's
+aggregate) followed by one groupby shuffle on (window, type).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["tumbling_window_stats", "sessionize"]
+
+
+def tumbling_window_stats(events_ds, ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          value_col: str = "value",
+                          unit: str = "minute"):
+    """→ (window_start, event_type, n_events, min_value, max_value)
+    per tumbling window. Min/Max (not Sum) keep float results exactly
+    order-independent for oracle comparison."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(t[ts_col], unit=unit),
+            type_col: t[type_col],
+            value_col: t[value_col],
+        })
+
+    return (events_ds.select_columns([ts_col, type_col, value_col])
+            .map_batches(add_window, batch_format="pyarrow")
+            .groupby(["window_start", type_col])
+            .aggregate(Count(alias_name="n_events"),
+                       Min(value_col, alias_name="min_value"),
+                       Max(value_col, alias_name="max_value")))
+
+
+def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30):
+    """→ (user_id, session_id, n_events, session_start, session_end):
+    classic gap-based sessionization. One range-partition sort on the
+    user key co-locates each user's events (a composite (user, ts)
+    sort key would let a range boundary split one user across blocks);
+    each block then orders by ts and cuts sessions vectorized."""
+    import numpy as np
+
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def cut(t: pa.Table) -> pa.Table:
+        users = np.asarray(t[user_col].to_pylist(), dtype=np.int64)
+        ts = np.asarray(
+            t[ts_col].cast(pa.timestamp("us")).to_pylist(), dtype=object)
+        tsv = np.asarray(t[ts_col].cast(pa.int64()).to_pylist(),
+                         dtype=np.int64)
+        order = np.lexsort((tsv, users))
+        users, ts, tsv = users[order], ts[order], tsv[order]
+        n = len(users)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+            })
+        new_user = np.concatenate(([True], users[1:] != users[:-1]))
+        big_gap = np.concatenate(([True], (tsv[1:] - tsv[:-1]) > gap_us))
+        cutpoints = np.flatnonzero(new_user | big_gap)
+        ends = np.concatenate((cutpoints[1:], [n]))
+        out_u, out_s, out_n, out_a, out_b = [], [], [], [], []
+        sess_by_user: dict[int, int] = {}
+        for s, e in zip(cutpoints, ends):
+            u = int(users[s])
+            sid = sess_by_user.get(u, 0)
+            sess_by_user[u] = sid + 1
+            out_u.append(u)
+            out_s.append(sid)
+            out_n.append(int(e - s))
+            out_a.append(ts[s])
+            out_b.append(ts[e - 1])
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "session_id": pa.array(out_s, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "session_start": pa.array(out_a, pa.timestamp("us")),
+            "session_end": pa.array(out_b, pa.timestamp("us")),
+        })
+
+    return (events_ds.select_columns([user_col, ts_col])
+            .sort(user_col)
+            .map_batches(cut, batch_size=None, batch_format="pyarrow"))
