@@ -21,10 +21,23 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def hash64(strings) -> np.ndarray:
-    """FNV-1a 64-bit of each UTF-8 string; accepts pyarrow array / list /
-    numpy object array. Returns uint64 ndarray."""
+    """Deterministic 64-bit hash of each UTF-8 string (vectorized
+    C-speed siphash via ``pd.util.hash_array`` with its fixed default
+    key — stable across processes/machines, unlike builtin ``hash``).
+    Accepts pyarrow array / list / numpy object array; uint64 out."""
+    import pandas as pd
     if isinstance(strings, (pa.Array, pa.ChunkedArray)):
         strings = strings.to_pylist()
+    arr = np.asarray(strings, dtype=object)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def hash64_fnv(strings) -> np.ndarray:
+    """Reference FNV-1a 64-bit (pure Python; kept for tests/debug —
+    the role of the reference's one-at-a-time hashes,
+    hash_util.h:61-157)."""
     out = np.empty(len(strings), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i, s in enumerate(strings):
