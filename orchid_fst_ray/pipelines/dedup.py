@@ -93,13 +93,20 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def sig_batch(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
-        sigs = np.empty((len(ids), n_perm), dtype=np.uint64)
-        for i, txt in enumerate(t[text_col].to_pylist()):
-            h = shingle_hashes(txt, k)
-            if len(h) == 0:
-                sigs[i, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
-            else:
-                sigs[i, :] = minhash_permute(h, n_perm).min(axis=0)
+        texts = t[text_col].to_pylist()
+        # one flat hash pass over ALL docs' shingles, then segmented
+        # mins (np.minimum.reduceat) — no per-doc Python hashing
+        all_h: list[np.ndarray] = [shingle_hashes(x, k) for x in texts]
+        lens = np.array([len(h) for h in all_h], dtype=np.int64)
+        sigs = np.full((len(ids), n_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+                       dtype=np.uint64)
+        nonzero = np.flatnonzero(lens)
+        if len(nonzero):
+            flat = np.concatenate([all_h[i] for i in nonzero])
+            perms = minhash_permute(flat, n_perm)      # (sum_lens, n_perm)
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[nonzero])[:-1]))
+            sigs[nonzero] = np.minimum.reduceat(perms, starts, axis=0)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "sig": pa.FixedSizeListArray.from_arrays(
@@ -292,29 +299,31 @@ def _popcount(x: np.ndarray) -> np.ndarray:
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
                         max_posting: int = 64):
-    """Exact n-gram-Jaccard similarity self-join.
+    """Exact n-gram-Jaccard similarity self-join (count-based PPJoin
+    style — no set payloads ever move).
 
     Blocking: inverted index on shingle hashes — a pair at Jaccard ≥ t
     shares ≥1 shingle, so recall is exact as long as no shared shingle's
-    posting list overflows ``max_posting`` (hot shingles are stop-shingles;
-    dropping them is the standard DF-cut and is recorded per run).
-    Verification: exact Jaccard over each doc's shingle-hash set, shipped
-    with the posting rows (sets stay small for doc-key-scale strings).
+    posting list overflows ``max_posting`` (hot shingles are
+    stop-shingles; the DF-cut is the standard trade).
+    Verification: a candidate pair occurs once per SHARED shingle, so
+    ``Count`` over pairs IS the intersection size (pre-combined per
+    block before the shuffle); set sizes ride along on the posting rows
+    (one extra int64 — no join needed), and
+    ``jaccard = inter / (|A| + |B| - inter)`` is exact integer math.
     """
-
     def explode(t: pa.Table) -> pa.Table:
-        ids, sh_l, sets = [], [], []
+        # postings carry (shingle, doc_id, |set|): O(|set|) per doc
+        ids, sh_l, ns = [], [], []
         for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             h = shingle_hashes(txt, k)
-            for s in h:
-                ids.append(i)
-                sh_l.append(int(s))
-                sets.append(h)
+            ids.extend([i] * len(h))
+            sh_l.extend(h.tolist())
+            ns.extend([len(h)] * len(h))
         return pa.table({
             "shingle": pa.array(sh_l, pa.uint64()),
             id_col: pa.array(ids, pa.int64()),
-            "set": pa.array([s.tolist() for s in sets],
-                            pa.list_(pa.uint64())),
+            "n": pa.array(ns, pa.int64()),
         })
 
     postings = ds.select_columns([id_col, text_col]).map_batches(
@@ -323,35 +332,63 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def block_pairs(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         shingle = np.asarray(t["shingle"].to_pylist(), dtype=np.uint64)
-        sets = t["set"].to_pylist()
-        ia, ib, jc = [], [], []
+        ns = np.asarray(t["n"].to_pylist(), dtype=np.int64)
+        out_a, out_b, out_na, out_nb = [], [], [], []
         bounds = np.concatenate((
             [0], np.flatnonzero(shingle[1:] != shingle[:-1]) + 1, [len(ids)]))
         for s, e in zip(bounds[:-1], bounds[1:]):
             gi, uniq = np.unique(ids[s:e], return_index=True)
             if len(gi) > max_posting or len(gi) < 2:
                 continue
-            gsets = [set(sets[s + u]) for u in uniq]
-            for i in range(len(gi) - 1):
-                sa = gsets[i]
-                for j in range(i + 1, len(gi)):
-                    sb = gsets[j]
-                    inter = len(sa & sb)
-                    union = len(sa) + len(sb) - inter
-                    jac = inter / union if union else 1.0
-                    if jac >= threshold:
-                        ia.append(int(gi[i]))
-                        ib.append(int(gi[j]))
-                        jc.append(jac)
-        return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "jaccard": pa.array(jc, pa.float64())})
+            gn = ns[s:e][uniq]
+            iu, ju = np.triu_indices(len(gi), k=1)
+            out_a.append(gi[iu])
+            out_b.append(gi[ju])
+            out_na.append(gn[iu])
+            out_nb.append(gn[ju])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "_na": pa.array([], pa.int64()),
+                             "_nb": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b)),
+                         "_na": pa.array(np.concatenate(out_na)),
+                         "_nb": pa.array(np.concatenate(out_nb))})
 
-    pairs = postings.sort("shingle").map_batches(
-        block_pairs, batch_size=None, batch_format="pyarrow")
-    from ray.data.aggregate import Min
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("jaccard", alias_name="jaccard"))
+    raw_pairs = (postings.sort("shingle")
+                 .map_batches(block_pairs, batch_size=None,
+                              batch_format="pyarrow"))
+
+    # count shared shingles per pair WITHOUT a groupby: sort on the
+    # full (id_a, id_b) key (equal pairs co-locate — the sort key IS
+    # the group key) and reduce each run vectorized. A hash aggregate
+    # over ~1-row groups costs ~10x more than this sort+reduceat.
+    def reduce_verify(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
+        ib = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
+        na = np.asarray(t["_na"].to_pylist(), dtype=np.int64)
+        nb = np.asarray(t["_nb"].to_pylist(), dtype=np.int64)
+        if len(ia) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        new = np.concatenate(
+            ([True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])))
+        starts = np.flatnonzero(new)
+        inter_v = np.diff(np.concatenate((starts, [len(ia)])))
+        ia, ib, na, nb = ia[starts], ib[starts], na[starts], nb[starts]
+        union = na + nb - inter_v
+        jac = np.where(union > 0, inter_v / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        return pa.table({
+            "id_a": pa.array(ia[keep]),
+            "id_b": pa.array(ib[keep]),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return raw_pairs.sort(["id_a", "id_b"]).map_batches(
+        reduce_verify, batch_size=None, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- embeddings
