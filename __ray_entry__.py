@@ -201,6 +201,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.embedding_dup_pairs(_emb(sf_dir), threshold=0.4)
         return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
+    def dedup_embedding_lsh(sf_dir: str):
+        pairs = dedup.embedding_dup_pairs_lsh(_emb(sf_dir), threshold=0.4,
+                                              bits=4, multiprobe=2)
+        return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
     def ann_topk(sf_dir: str):
         res = similarity.ann_topk(_emb(sf_dir), [0, 7, 42], k=10)
         return res.select_columns(["query_id", "vec_id", "rank"]).sort(
@@ -262,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,

@@ -40,7 +40,8 @@ from orchid_fst_ray.functions.text import WORD_RE, token_shingles
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_dup_pairs",
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
-    "embedding_dup_pairs", "shingle_hashes",
+    "embedding_dup_pairs", "embedding_dup_pairs_lsh",
+    "shingle_hashes",
 ]
 
 
@@ -124,10 +125,9 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
     signature-estimated Jaccard ≥ ``threshold``. ``bands`` must divide
-    ``n_perm``; rows per band bucket are capped at ``max_bucket``
-    (oversize buckets emit a truncation marker row id pair (-1,-1) is
-    NOT used — truncation is recorded by dropping with a warning column
-    omitted; see ``ngram_jaccard_pairs`` for the capped-blocking note).
+    ``n_perm``; rows per band bucket are capped at ``max_bucket`` (the
+    DF-cut for pathological buckets — beyond the cap a bucket's excess
+    rows are dropped, the standard recall/cost trade).
     """
     assert n_perm % bands == 0
     rows_per_band = n_perm // bands
@@ -401,8 +401,8 @@ def embedding_dup_pairs(ds, vec_col: str = "embedding",
     every batch performs a single float64 matmul against it, emitting
     ``(id_a, id_b)`` with ``id_a < id_b`` and cosine ≥ threshold. This is
     the correct baseline when one side fits a worker (embedding tables of
-    ≤ a few GB); beyond that use LSH bucketing (similarity.lsh_buckets)
-    to shard the join.
+    ≤ a few GB); beyond that use :func:`embedding_dup_pairs_lsh`, which
+    shards the self-join by random-hyperplane bucket.
     """
     import ray
 
@@ -450,3 +450,105 @@ def _vec_matrix(col) -> np.ndarray:
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
     return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+
+
+def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.9, bits: int = 8,
+                            multiprobe: int = 1, seed: int = 0xE1B,
+                            max_bucket: int = 10_000):
+    """Cosine near-dup pairs, LSH-bucketed (the 100 TB scale path).
+
+    Random-hyperplane signatures shard the self-join: each vector is
+    emitted to its own bucket plus every bucket within Hamming distance
+    ``multiprobe`` of its signature; one range-partition sort
+    co-locates buckets and each block brute-forces its buckets with one
+    matmul per bucket. Approximate by design — recall falls with the
+    angle; raise ``multiprobe`` (cost ~ C(bits, ≤multiprobe) copies) or
+    lower ``bits`` to trade cost for recall. Pair duplicates across
+    probed buckets collapse via the sorted-run reduce.
+    """
+    from itertools import combinations
+
+    from orchid_fst_ray.pipelines.similarity import _hyperplanes, _signatures
+
+    planes_holder: dict = {}
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        from orchid_fst_ray.pipelines.dedup import _vec_matrix
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        m = _vec_matrix(t[vec_col])
+        if "p" not in planes_holder:
+            planes_holder["p"] = _hyperplanes(
+                m.shape[1] if m.size else 1, bits, seed)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        unit = m / n[:, None]
+        sig = _signatures(unit, planes_holder["p"])
+        # probe masks: identity + all bit-flips up to `multiprobe`
+        masks = [np.uint64(0)]
+        for r in range(1, multiprobe + 1):
+            for combo in combinations(range(bits), r):
+                acc = np.uint64(0)
+                for b in combo:
+                    acc |= np.uint64(1) << np.uint64(b)
+                masks.append(acc)
+        dim = unit.shape[1] if unit.size else 0
+        out_bucket, out_id, out_vec = [], [], []
+        for mask in masks:
+            out_bucket.append(np.bitwise_xor(sig, mask))
+            out_id.append(ids)
+            out_vec.append(unit)
+        flat_vec = (np.concatenate(out_vec).astype(np.float32)
+                    if out_vec else np.zeros((0, 0), np.float32))
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "unit": pa.array([v.tobytes() for v in flat_vec],
+                             pa.large_binary()),
+        })
+
+    buckets = ds.select_columns([id_col, vec_col]).map_batches(
+        to_buckets, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+        vecs = t["unit"].to_pylist()
+        ia, ib, cs = [], [], []
+        bounds = np.concatenate((
+            [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            gi, uniq = np.unique(ids[s:e], return_index=True)
+            if len(gi) < 2 or len(gi) > max_bucket:
+                continue
+            unit = np.vstack([
+                np.frombuffer(vecs[s + u], dtype=np.float32)
+                for u in uniq]).astype(np.float64)
+            cos = unit @ unit.T
+            iu, ju = np.nonzero(np.triu(cos >= threshold, k=1))
+            ia.extend(gi[iu].tolist())
+            ib.extend(gi[ju].tolist())
+            cs.extend(cos[iu, ju].tolist())
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "cosine": pa.array(cs, pa.float64())})
+
+    raw = buckets.sort("bucket").map_batches(
+        bucket_pairs, batch_size=None, batch_format="pyarrow")
+
+    def dedup_runs(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
+        ib = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
+        cs = np.asarray(t["cosine"].to_pylist(), dtype=np.float64)
+        if len(ia) == 0:
+            return t
+        new = np.concatenate(
+            ([True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])))
+        keep = np.flatnonzero(new)
+        return pa.table({"id_a": pa.array(ia[keep]),
+                         "id_b": pa.array(ib[keep]),
+                         "cosine": pa.array(cs[keep], pa.float64())})
+
+    return raw.sort(["id_a", "id_b"]).map_batches(
+        dedup_runs, batch_size=None, batch_format="pyarrow")

@@ -232,3 +232,15 @@ def test_fingerprints_deterministic_and_discriminative(
                 n_collide += 1
     # and most docs keep a unique fingerprint
     assert a["fingerprint"].nunique() >= 0.9 * len(a)
+
+
+def test_embedding_lsh_recall_and_precision(ray_session, emb_ds, emb_np):
+    """LSH-bucketed scale path: subset of the exact pair set; high
+    recall at bits=4 / multiprobe=2 on this corpus."""
+    exact = dedup.embedding_dup_pairs(emb_ds, threshold=0.4).to_pandas()
+    lsh = dedup.embedding_dup_pairs_lsh(
+        emb_ds, threshold=0.4, bits=4, multiprobe=2).to_pandas()
+    ep = set(zip(exact["id_a"].astype(int), exact["id_b"].astype(int)))
+    lp = set(zip(lsh["id_a"].astype(int), lsh["id_b"].astype(int)))
+    assert lp <= ep                       # no false positives ever
+    assert len(ep & lp) >= 0.8 * len(ep)  # recall floor
