@@ -67,10 +67,28 @@ class CheckpointStore:
         wall = time.time() - t0
         shutil.rmtree(d, ignore_errors=True)
         os.replace(tmp, d)
+        # per-partition lineage from parquet footers (metadata-only —
+        # no data read): one row per output file with its row count
+        partitions = []
+        total_rows = 0
+        try:
+            import pyarrow.parquet as pq
+            data_dir = os.path.join(d, "data")
+            for name in sorted(os.listdir(data_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                nrows = pq.ParquetFile(
+                    os.path.join(data_dir, name)).metadata.num_rows
+                partitions.append({"file": name, "rows": nrows})
+                total_rows += nrows
+        except Exception:
+            partitions = []
         manifest = {
             "fingerprint": fingerprint,
             "wall_sec": round(wall, 3),
             "written_at": time.time(),
+            "rows": total_rows,
+            "partitions": partitions,
             **metrics,
         }
         with open(os.path.join(d, "_SUCCESS"), "w") as f:
