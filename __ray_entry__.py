@@ -178,6 +178,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet")
         return sessionize(ev).sort(["user_id", "session_id"])
 
+    def lineitem_summary(sf_dir: str):
+        """TPC-H-q1-style grouped summary (count/min/max only — float
+        Sum is summation-order-dependent and would break the value
+        hash; Min/Max/Count are order-free exact)."""
+        import ray.data as rd
+        from ray.data.aggregate import Count, Max, Min
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"])
+        return (li.groupby(["l_returnflag", "l_linestatus"])
+                .aggregate(Count(alias_name="n_rows"),
+                           Min("l_quantity", alias_name="min_qty"),
+                           Max("l_quantity", alias_name="max_qty"),
+                           Min("l_extendedprice", alias_name="min_price"),
+                           Max("l_extendedprice", alias_name="max_price"))
+                .sort(["l_returnflag", "l_linestatus"]))
+
+    def orders_per_priority(sf_dir: str):
+        """Join breadth check: lineitems per order priority."""
+        import ray.data as rd
+        from ray.data.aggregate import Count
+        from orchid_fst_ray.functions.blocks import compact_nonempty
+        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey"])
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"])
+        j = compact_nonempty(li).join(
+            compact_nonempty(orders), join_type="inner",
+            num_partitions=16, on=("l_orderkey",),
+            right_on=("o_orderkey",))
+        return (j.groupby("o_orderpriority")
+                .aggregate(Count(alias_name="n_lineitems"))
+                .sort("o_orderpriority"))
+
     def sort_lines(sf_dir: str):
         return sort_by_trimmed(_docs(sf_dir), col="text", id_col="doc_id")
 
@@ -261,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_difference": dict_difference_q,
         "events_window": events_window,
         "events_sessions": events_sessions,
+        "lineitem_summary": lineitem_summary,
+        "orders_per_priority": orders_per_priority,
         "sort_lines": sort_lines,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -363,6 +401,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        "lineitem_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+        "orders_per_priority": """
+            SELECT o_orderpriority, count(*) AS n_lineitems
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1""",
         "sort_lines": ("SELECT doc_id, text FROM documents "
                        "ORDER BY trim(text), doc_id"),
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
