@@ -82,6 +82,7 @@ def _as_int64_value(ds):
 
 _MATCH_KEYS = ["blue bolt", "red widget", "small ring", "zzz no such part"]
 _FUZZY_QUERY = "red widgit"
+_BATCH_QUERIES = ["red widget", "blue balt", "smal ring", "green gear"]
 
 
 # --------------------------------------------------------------------------
@@ -123,6 +124,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return search_dictionary(idx, "fuzzy", has_output=False,
                                  query=_FUZZY_QUERY, d=2,
                                  damerau=False).sort("key")
+
+    def dict_fuzzy_batch(sf_dir: str):
+        """Actor-pool batched fuzzy probe (FstSearcherPool): several
+        query strings at d=1 against the distinct p_name set."""
+        import ray.data as rd
+        from orchid_fst_ray.stages.dictionary import (
+            build_dictionary, search_dictionary_many)
+        keys = _part_kv(sf_dir).select_columns(["key"])
+        idx = build_dictionary(keys, key_col="key", value_col=None)
+        queries_ds = rd.from_arrow(pa.table({
+            "query": pa.array(_BATCH_QUERIES, pa.large_string())}))
+        return search_dictionary_many(
+            idx, queries_ds, kind="fuzzy", has_output=False, d=1,
+            concurrency=(1, 4)).sort(["query", "key"])
 
     def dict_fuzzy_damerau(sf_dir: str):
         from orchid_fst_ray.stages.dictionary import build_dictionary
@@ -291,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_prefix": dict_prefix,
         "dict_range": dict_range,
         "dict_fuzzy_lev": dict_fuzzy_lev,
+        "dict_fuzzy_batch": dict_fuzzy_batch,
         "dict_fuzzy_damerau": dict_fuzzy_damerau,
         "dict_union": dict_union_q,
         "dict_intersect": dict_intersect_q,
@@ -413,6 +429,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n_lineitems
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1""",
+        "dict_fuzzy_batch": """
+            SELECT q.query, p.key
+            FROM (VALUES ('red widget'), ('blue balt'), ('smal ring'), ('green gear')) AS q(query)
+            JOIN (SELECT DISTINCT p_name AS key FROM part) AS p
+              ON levenshtein(p.key, q.query) <= 1
+            ORDER BY q.query, p.key""",
         "sort_lines": ("SELECT doc_id, text FROM documents "
                        "ORDER BY trim(text), doc_id"),
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "

@@ -34,7 +34,8 @@ from orchid_fst_ray.fst import (
     Bound, Fst, FstBuilder, PrefixAutomaton, StrAutomaton, fuzzy_automaton,
 )
 
-__all__ = ["build_dictionary", "search_dictionary", "dictionary_items"]
+__all__ = ["build_dictionary", "search_dictionary",
+           "search_dictionary_many", "FstSearcherPool", "dictionary_items"]
 
 INDEX_SCHEMA = pa.schema([
     ("part_lo", pa.large_string()),
@@ -175,3 +176,71 @@ def dictionary_items(index_ds: "ray.data.Dataset",
                      has_output: bool = True) -> "ray.data.Dataset":
     """Stream every (key, value) of the dictionary in partition order."""
     return search_dictionary(index_ds, "all", has_output=has_output)
+
+
+class FstSearcherPool:
+    """Stateful actor-pool searcher (SURVEY.md §2.3 T4): the partition
+    FSTs are deserialized ONCE per actor in ``__init__`` (broadcast via
+    ``ray.put`` — the object store plays the reference's mmap role,
+    output_stream_util.cpp:47-66) and every batch of query strings runs
+    automaton∩FST traversal against all partitions.
+
+    Scale note: this broadcasts the whole index to each actor — right
+    for dictionary-sized indexes probed by MANY queries. When the index
+    itself is huge, shard the queries × index-partitions product with a
+    join on partition ranges instead.
+    """
+
+    def __init__(self, index_ref, kind: str, params: dict,
+                 has_output: bool) -> None:
+        import ray
+        self.fsts = [Fst.from_bytes(b) for b in ray.get(index_ref)]
+        self.kind = kind
+        self.params = params
+        self.has_output = has_output
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from orchid_fst_ray.fst import fuzzy_automaton
+        p = self.params
+        out_q: list[str] = []
+        out_k: list[str] = []
+        out_v: list[int] = []
+        for q in batch["query"].to_pylist():
+            if self.kind == "fuzzy":
+                aut = fuzzy_automaton(q, p.get("d", 2),
+                                      p.get("same_prefix_len", 0),
+                                      p.get("damerau", False))
+            elif self.kind == "prefix":
+                aut = PrefixAutomaton(q)
+            elif self.kind == "match":
+                aut = StrAutomaton(q)
+            else:  # pragma: no cover
+                raise ValueError(f"unsupported batch query kind {self.kind}")
+            for fst in self.fsts:
+                for k, v in fst.search(aut):
+                    out_q.append(q)
+                    out_k.append(k)
+                    out_v.append(v)
+        cols = {"query": pa.array(out_q, pa.large_string()),
+                "key": pa.array(out_k, pa.large_string())}
+        if self.has_output:
+            cols["value"] = pa.array(out_v, pa.uint64())
+        return pa.table(cols)
+
+
+def search_dictionary_many(index_ds, queries_ds, kind: str = "fuzzy",
+                           has_output: bool = True,
+                           concurrency=(1, 8), batch_size: int = 256,
+                           **params):
+    """Probe MANY query strings against the dictionary with an actor
+    pool: ``queries_ds`` has a ``query`` column; output is
+    ``(query, key[, value])`` rows for every hit."""
+    import ray
+    blobs = [r["fst"] for r in
+             index_ds.select_columns(["fst"]).take_all()]
+    ref = ray.put(blobs)
+    return queries_ds.map_batches(
+        FstSearcherPool,
+        fn_constructor_args=(ref, kind, params, has_output),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -103,3 +103,23 @@ def test_sort_by_trimmed_drop_empty(ray_session):
                           drop_empty=True).to_pandas()["line"].tolist()
     gold = _golden(SORT_GOLD_DROP)
     assert got == gold
+
+
+def test_batched_fuzzy_matches_per_query(words_index, ref_words):
+    """FstSearcherPool (actor-pool batched probe) == one-at-a-time
+    search_dictionary for every query."""
+    import pyarrow as pa
+    import ray.data as rd
+    from orchid_fst_ray.stages.dictionary import search_dictionary_many
+    queries = ["hair", "chari", "zebra"]
+    qds = rd.from_arrow(pa.table({
+        "query": pa.array(queries, pa.large_string())}))
+    batched = search_dictionary_many(
+        words_index, qds, kind="fuzzy", has_output=False, d=2,
+        concurrency=2).to_pandas()
+    for q in queries:
+        one = search_dictionary(words_index, "fuzzy", has_output=False,
+                                query=q, d=2)
+        expect = sorted(one.to_pandas()["key"])
+        got = sorted(batched[batched["query"] == q]["key"])
+        assert got == expect
