@@ -39,12 +39,41 @@ _EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
 _LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
 
 
+def _min_label_agg(ds, salt_partitions: int | None = None):
+    """groupby(node).min(label), optionally SALTED two-phase
+    (SURVEY.md §4.2): phase 1 aggregates on (node, salt=hash(label)%S)
+    so a mega-component's fan-in spreads over S reducers; phase 2
+    reduces the ≤S partials per node. Ray's per-block pre-combine
+    already handles moderate skew — salting is for components whose
+    message fan-in exceeds a single reducer's memory."""
+    if not salt_partitions:
+        return (ds.groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+                .map_batches(_cast_labels, batch_format="pyarrow"))
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        from orchid_fst_ray.functions.hashing import hash64
+        import numpy as np
+        salt = hash64(t["label"]) % np.uint64(salt_partitions)
+        return pa.table({"node": t["node"].cast(pa.string()),
+                         "label": t["label"].cast(pa.string()),
+                         "_salt": pa.array(salt, pa.uint64())})
+
+    partial = (ds.map_batches(add_salt, batch_format="pyarrow")
+               .groupby(["node", "_salt"])
+               .aggregate(Min("label", alias_name="label")))
+    return (partial.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_cast_labels, batch_format="pyarrow"))
+
+
 def connected_components(edges_ds, node_a: str = "url_a",
                          node_b: str = "url_b",
                          nodes_ds=None, node_col: str = "url",
                          num_partitions: int = 16,
                          max_iters: int = 25,
-                         driver_threshold: int = 200_000):
+                         driver_threshold: int = 200_000,
+                         salt_partitions: int | None = None):
     """edges(node_a, node_b) [+ optional nodes(node_col) seeds] →
     (url, cluster_id); cluster_id = lexicographic min node of the
     component. Seeded nodes with no edges come back as singletons.
@@ -125,9 +154,7 @@ def connected_components(edges_ds, node_a: str = "url_a",
         }), batch_format="pyarrow")
         combined = msgs.union(labels)
         labels = compact_nonempty(
-            combined.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(_cast_labels, batch_format="pyarrow"),
+            _min_label_agg(combined, salt_partitions),
             schema=_LABEL_SCHEMA)
     if seeds is not None:
         merged = (labels.union(seeds).groupby("node")

@@ -115,3 +115,15 @@ def test_checkpoint_resume(ray_session, fixture, tmp_path):
     assert all(row["resumed"] for row in r2["lineage"])
     assert r2["metrics"]["clusters_resumed"]
     assert a1 == a2
+
+
+def test_salted_two_phase_label_propagation(er_result):
+    """Salted two-phase min aggregation (mega-component skew path)
+    produces the identical assignment."""
+    from orchid_fst_ray.stages.clustering import connected_components
+    from orchid_fst_ray.pipelines.er import assignment_from_components
+    cc = connected_components(
+        er_result["scored"], nodes_ds=er_result["docs"], node_col="url",
+        num_partitions=4, driver_threshold=0, salt_partitions=4)
+    got = assignment_from_components(cc)
+    assert got == er_result["assign_dict"]
