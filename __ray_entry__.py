@@ -212,21 +212,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort(["l_returnflag", "l_linestatus"]))
 
     def orders_per_priority(sf_dir: str):
-        """Join breadth check: lineitems per order priority."""
+        """Join breadth check: lineitems per order priority.
+        Pre-aggregates lineitem counts per orderkey BEFORE the join
+        (combiner-before-shuffle: the join left side shrinks from every
+        lineitem row to one row per distinct order)."""
         import ray.data as rd
-        from ray.data.aggregate import Count
+        from ray.data.aggregate import Count, Sum
         from orchid_fst_ray.functions.blocks import compact_nonempty
         li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                              columns=["l_orderkey"])
+        per_order = (li.groupby("l_orderkey")
+                     .aggregate(Count(alias_name="n")))
         orders = rd.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_orderpriority"])
-        j = compact_nonempty(li).join(
+        j = compact_nonempty(per_order).join(
             compact_nonempty(orders), join_type="inner",
             num_partitions=16, on=("l_orderkey",),
             right_on=("o_orderkey",))
         return (j.groupby("o_orderpriority")
-                .aggregate(Count(alias_name="n_lineitems"))
+                .aggregate(Sum("n", alias_name="n_lineitems"))
+                .map_batches(lambda t: pa.table({
+                    "o_orderpriority": t["o_orderpriority"],
+                    "n_lineitems": t["n_lineitems"].cast(pa.int64())}),
+                    batch_format="pyarrow")
                 .sort("o_orderpriority"))
 
     def sort_lines(sf_dir: str):

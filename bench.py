@@ -79,10 +79,14 @@ def run_query_benches(sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as e
     qs = e.queries()
-    names = ["dict_items", "dict_fuzzy_lev", "sort_lines", "dedup_exact",
-             "dedup_minhash", "dedup_simhash", "dedup_embedding",
+    names = ["dict_items", "dict_fuzzy_lev", "dict_fuzzy_batch",
+             "dict_union", "sort_lines", "dedup_exact",
+             "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+             "dedup_embedding", "dedup_embedding_lsh",
              "ann_topk", "token_stats", "quality_stats", "lang_id",
-             "doc_fingerprints", "multimodal_image_features"]
+             "doc_fingerprints", "events_window", "events_sessions",
+             "lineitem_summary", "orders_per_priority",
+             "multimodal_image_features", "multimodal_audio_frames"]
     out: dict[str, float] = {}
     for name in names:
         t0 = time.time()

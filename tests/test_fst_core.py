@@ -151,3 +151,26 @@ def test_registry_budget_still_correct():
     capped = b.finish()
     assert list(capped.keys()) == words
     assert capped.n_nodes >= full.n_nodes
+
+
+def test_fst_roundtrip_property():
+    """Hypothesis property: ANY sorted unique key/value set round-trips
+    through build → serialize → deserialize → items() exactly
+    (re-expressing the reference's randomized cache/build test style)."""
+    from hypothesis import given, settings, strategies as st
+
+    keys_vals = st.dictionaries(
+        st.text(min_size=0, max_size=12), st.integers(0, 2**63),
+        min_size=0, max_size=60)
+
+    @settings(max_examples=60, deadline=None)
+    @given(keys_vals)
+    def prop(d):
+        items = sorted(d.items())
+        fst = build_fst([k for k, _ in items], [v for _, v in items])
+        rt = Fst.from_bytes(fst.to_bytes())
+        assert list(rt.items()) == items
+        for k, v in items:
+            assert rt.get(k) == v
+
+    prop()
