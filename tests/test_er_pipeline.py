@@ -127,3 +127,18 @@ def test_salted_two_phase_label_propagation(er_result):
         num_partitions=4, driver_threshold=0, salt_partitions=4)
     got = assignment_from_components(cc)
     assert got == er_result["assign_dict"]
+
+
+def test_empty_pages_input(ray_session):
+    """Zero-page input: the pipeline completes with an empty assignment
+    (no crash on empty blocks / empty edge sets)."""
+    import ray.data as rd
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("ms", tz="UTC")),
+        "html": pa.array([], pa.binary()),
+        "text": pa.array([], pa.large_string()),
+        "lang": pa.array([], pa.string()),
+    }))
+    res = run_er(pages, num_partitions=2, scorer_concurrency=1)
+    assert res["assignment"].count() == 0
