@@ -125,6 +125,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  query=_FUZZY_QUERY, d=2,
                                  damerau=False).sort("key")
 
+    def dict_fuzzy_prefixlen(sf_dir: str):
+        """Fuzzy with required common prefix (the reference's
+        samePrefixLen — Intersect(PrefixAutomaton, LevAutomaton),
+        fst.cpp:530-553)."""
+        from orchid_fst_ray.stages.dictionary import build_dictionary
+        keys = _part_kv(sf_dir).select_columns(["key"])
+        idx = build_dictionary(keys, key_col="key", value_col=None)
+        return search_dictionary(idx, "fuzzy", has_output=False,
+                                 query=_FUZZY_QUERY, d=2,
+                                 same_prefix_len=4,
+                                 damerau=False).sort("key")
+
     def dict_fuzzy_batch(sf_dir: str):
         """Actor-pool batched fuzzy probe (FstSearcherPool): several
         query strings at d=1 against the distinct p_name set."""
@@ -315,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_prefix": dict_prefix,
         "dict_range": dict_range,
         "dict_fuzzy_lev": dict_fuzzy_lev,
+        "dict_fuzzy_prefixlen": dict_fuzzy_prefixlen,
         "dict_fuzzy_batch": dict_fuzzy_batch,
         "dict_fuzzy_damerau": dict_fuzzy_damerau,
         "dict_union": dict_union_q,
@@ -438,6 +451,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n_lineitems
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1""",
+        "dict_fuzzy_prefixlen": (
+            "SELECT DISTINCT p_name AS key FROM part "
+            f"WHERE levenshtein(p_name, '{_FUZZY_QUERY}') <= 2 "
+            f"AND substr(p_name, 1, 4) = substr('{_FUZZY_QUERY}', 1, 4) "
+            "ORDER BY key"),
         "dict_fuzzy_batch": """
             SELECT q.query, p.key
             FROM (VALUES ('red widget'), ('blue balt'), ('smal ring'), ('green gear')) AS q(query)

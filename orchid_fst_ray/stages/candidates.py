@@ -133,7 +133,8 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         max_pairs_per_key: int = 64,
                         hot_block_rows: int | None = 5000,
                         num_partitions: int = 16,
-                        url_col: str | None = None):
+                        url_col: str | None = None,
+                        same_prefix_len: int = 0):
     """docs(url, doc_key, host, ...) → candidate pairs
     (url_a, url_b, key_a, key_b, block_key). One shuffle on the block
     key for normal blocks; blocks above ``hot_block_rows`` take the
@@ -150,7 +151,8 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     inst = BlockCandidates(d=d, damerau=damerau, key_col=key_col,
                            id_col=id_col, block_col=block_col,
                            max_pairs_per_key=max_pairs_per_key,
-                           url_col=url_col)
+                           url_col=url_col,
+                           same_prefix_len=same_prefix_len)
 
     def block_candidates(g):
         return inst(g)
@@ -184,7 +186,8 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         slim.map_batches(split(True), batch_format="pyarrow"),
         d=d, damerau=damerau, key_col=key_col, id_col=id_col,
         block_col=block_col, max_pairs_per_key=max_pairs_per_key,
-        num_partitions=num_partitions, url_col=url_col)
+        num_partitions=num_partitions, url_col=url_col,
+        same_prefix_len=same_prefix_len)
     return normal.union(hot)
 
 
@@ -194,7 +197,8 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             max_pairs_per_key: int = 64,
                             num_partitions: int = 16,
                             probe_concurrency=(2, 16),
-                            url_col: str | None = None):
+                            url_col: str | None = None,
+                            same_prefix_len: int = 0):
     """Mega-block fuzzy candidates: per hot block build ONE set-FST over
     its distinct keys (one task per block), broadcast the FST dict via
     ``ray.put``, then probe (block, key) rows in a parallel actor pool
@@ -236,13 +240,14 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
     ref = ray.put(fsts)
 
     class Probe:
-        def __init__(self, ref, d, damerau, cap):
+        def __init__(self, ref, d, damerau, cap, same_prefix_len=0):
             from orchid_fst_ray.fst import Fst
             self.fsts = {k: Fst.from_bytes(v)
                          for k, v in ray.get(ref).items()}
             self.d = d
             self.damerau = damerau
             self.cap = cap
+            self.same_prefix_len = same_prefix_len
 
         def __call__(self, t: pa.Table) -> pa.Table:
             from orchid_fst_ray.fst import fuzzy_automaton
@@ -254,7 +259,8 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                     continue
                 seen.add((blk, k))
                 fst = self.fsts[blk]
-                aut = fuzzy_automaton(k, self.d, 0, self.damerau)
+                aut = fuzzy_automaton(k, self.d, self.same_prefix_len,
+                                      self.damerau)
                 budget = self.cap
                 for mk, _ in fst.search(aut):
                     if mk <= k:
@@ -271,7 +277,9 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                 "key_b": pa.array(kb, pa.string())})
 
     key_pairs = docs_small.select_columns([block_col, key_col]).map_batches(
-        Probe, fn_constructor_args=(ref, d, damerau, max_pairs_per_key),
+        Probe,
+        fn_constructor_args=(ref, d, damerau, max_pairs_per_key,
+                             same_prefix_len),
         batch_format="pyarrow", batch_size=256,
         concurrency=probe_concurrency, num_cpus=1)
 
