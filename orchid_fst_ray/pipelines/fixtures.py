@@ -66,7 +66,12 @@ def _edit_title(rnd: random.Random, title: str, n_ops: int) -> str:
             s.insert(i, rnd.choice(_CONS + _VOW))
         elif op == 3 and i + 1 < len(s):
             s[i], s[i + 1] = s[i + 1], s[i]
-    return "".join(s)
+    # collapse whitespace: stacked deletions can annihilate a short
+    # word, and a double space would break the extractor's
+    # whitespace-normalized output invariant (rare — shows up ~1 in
+    # 50k pages); the variant then sits at edit distance 3, a
+    # legitimate hard case for the scorer
+    return " ".join("".join(s).split())
 
 
 _BOILER = (

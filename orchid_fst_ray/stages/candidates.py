@@ -158,12 +158,14 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         return inst(g)
 
     hot_blocks: list = []
+    hot_rows_total = 0
     if hot_block_rows is not None:
         from ray.data.aggregate import Count
         sizes = slim.groupby(block_col).aggregate(Count(alias_name="n"))
         # only the (few) hot block names come to the driver
-        hot_blocks = [r[block_col] for r in
-                      sizes.filter(expr=f"n > {hot_block_rows}").take_all()]
+        hot_rows = sizes.filter(expr=f"n > {hot_block_rows}").take_all()
+        hot_blocks = [r[block_col] for r in hot_rows]
+        hot_rows_total = sum(r["n"] for r in hot_rows)
 
     if not hot_blocks:
         return (slim.groupby(block_col)
@@ -182,11 +184,16 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     normal = (slim.map_batches(split(False), batch_format="pyarrow")
               .groupby(block_col)
               .map_groups(block_candidates, batch_format="pandas"))
+    # join partition count follows the HOT data volume, not the
+    # cluster: a 32-reducer hash join on a few thousand rows is pure
+    # actor-startup overhead (measured 11s of a 22s stage)
+    join_parts = max(2, min(num_partitions,
+                            hot_rows_total // 100_000 + 2))
     hot = generate_hot_candidates(
         slim.map_batches(split(True), batch_format="pyarrow"),
         d=d, damerau=damerau, key_col=key_col, id_col=id_col,
         block_col=block_col, max_pairs_per_key=max_pairs_per_key,
-        num_partitions=num_partitions, url_col=url_col,
+        num_partitions=join_parts, url_col=url_col,
         same_prefix_len=same_prefix_len)
     return normal.union(hot)
 
@@ -196,7 +203,7 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             block_col: str = "host",
                             max_pairs_per_key: int = 64,
                             num_partitions: int = 16,
-                            probe_concurrency=(2, 16),
+                            probe_concurrency=None,
                             url_col: str | None = None,
                             same_prefix_len: int = 0):
     """Mega-block fuzzy candidates: per hot block build ONE set-FST over
@@ -213,6 +220,13 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
     import ray
     import pyarrow.compute as pc
     from orchid_fst_ray.functions.blocks import compact_nonempty
+
+    if probe_concurrency is None:
+        # start MOST of the pool immediately: autoscaling from a
+        # 2-actor floor is too slow for a short probe stage (the pool
+        # would run half the stage underparallelized)
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        probe_concurrency = (max(2, n_cpu // 2), max(4, n_cpu))
 
     docs_small = compact_nonempty(
         hot_docs.map_batches(lambda t: pa.table(
@@ -280,10 +294,12 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         Probe,
         fn_constructor_args=(ref, d, damerau, max_pairs_per_key,
                              same_prefix_len),
-        batch_format="pyarrow", batch_size=256,
+        batch_format="pyarrow", batch_size=128,
         concurrency=probe_concurrency, num_cpus=1)
 
-    # expand key pairs to url pairs: two hash joins against the docs
+    # expand key pairs to url pairs: two SORT-MERGE joins against the
+    # docs (task-based range-partition sorts; a hash join's reducer
+    # actor pool costs seconds of spin-up at typical hot-pair volumes)
     a_side = docs_small.map_batches(
         lambda t: pa.table({block_col: t[block_col],
                             "key_a": t[key_col],
@@ -295,12 +311,10 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
     kp = compact_nonempty(key_pairs, schema=pa.schema(
         [(block_col, pa.string()), ("key_a", pa.string()),
          ("key_b", pa.string())]))
-    j1 = kp.join(compact_nonempty(a_side), join_type="inner",
-                 num_partitions=num_partitions,
-                 on=(block_col, "key_a"))
-    fuzzy_pairs = compact_nonempty(j1).join(
-        compact_nonempty(b_side), join_type="inner",
-        num_partitions=num_partitions, on=(block_col, "key_b"))
+    j1 = _sort_merge_join(kp, a_side, [block_col, "key_a"],
+                          ["key_b"], ["_ua"])
+    fuzzy_pairs = _sort_merge_join(j1, b_side, [block_col, "key_b"],
+                                   ["key_a", "_ua"], ["_ub"])
 
     def canon_fuzzy(t: pa.Table) -> pa.Table:
         ua, ub = t["_ua"], t["_ub"]
@@ -327,6 +341,60 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         out = out.union(_equal_value_pairs(
             docs_small, block_col, url_col, key_col, id_col, "url"))
     return out
+
+
+def _sort_merge_join(left, right, key_cols: list[str],
+                     left_payload: list[str], right_payload: list[str]):
+    """Inner equi-join via one range-partition sort on the FULL join
+    key (equal keys co-locate) + per-run cross product in a vectorized
+    block pass. Output columns: key_cols + left_payload + right_payload.
+    Right for small/medium join volumes where a hash join's reducer
+    actor spin-up dominates; both inputs are narrow string columns."""
+
+    def tag(ds, kind: int, pay: list[str], other: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: t[c].cast(pa.string()) for c in key_cols}
+            cols["_kind"] = pa.array([kind] * t.num_rows, pa.int8())
+            for c in pay:
+                cols[c] = t[c].cast(pa.string())
+            for c in other:
+                cols[c] = pa.nulls(t.num_rows, pa.string())
+            return pa.table(cols)
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    both = tag(left, 0, left_payload, right_payload).union(
+        tag(right, 1, right_payload, left_payload))
+
+    out_cols = key_cols + left_payload + right_payload
+
+    def merge(t: pa.Table) -> pa.Table:
+        keys = [t[c].to_pylist() for c in key_cols]
+        kind = t["_kind"].to_pylist()
+        lp = [t[c].to_pylist() for c in left_payload]
+        rp = [t[c].to_pylist() for c in right_payload]
+        n = len(kind)
+        out: dict[str, list] = {c: [] for c in out_cols}
+        s = 0
+        while s < n:
+            e = s
+            while e < n and all(k[e] == k[s] for k in keys):
+                e += 1
+            li = [i for i in range(s, e) if kind[i] == 0]
+            ri = [i for i in range(s, e) if kind[i] == 1]
+            for i in li:
+                for j in ri:
+                    for c, col in zip(key_cols, keys):
+                        out[c].append(col[s])
+                    for c, col in zip(left_payload, lp):
+                        out[c].append(col[i])
+                    for c, col in zip(right_payload, rp):
+                        out[c].append(col[j])
+            s = e
+        return pa.table({c: pa.array(out[c], pa.string())
+                         for c in out_cols})
+
+    return both.sort(key_cols).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
 
 
 def _equal_value_pairs(docs_small, block_col: str, eq_col: str,
