@@ -48,7 +48,7 @@ def _warmup() -> None:
 
 
 def run_er_bench(sf_dir: str) -> tuple[float, int, dict]:
-    """Headline: full ER pipeline over a realistic workload — up to 4
+    """Headline: full ER pipeline over a realistic workload — up to 8
     near-duplicate page variants per document (url noise + ≤2 title
     edits, ground-truth entity = doc_id in the url path). Returns
     (wall_sec, n_pages, quality)."""
@@ -56,7 +56,7 @@ def run_er_bench(sf_dir: str) -> tuple[float, int, dict]:
     from orchid_fst_ray.sources.pages import pages_from_documents
     _warmup()
     t0 = time.time()
-    pages = pages_from_documents(sf_dir, parallelism=NUM_CPUS, variants=4)
+    pages = pages_from_documents(sf_dir, parallelism=NUM_CPUS, variants=8)
     res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
                  scorer_concurrency=(2, max(2, NUM_CPUS // 4)))
     by_entity: dict[str, set] = {}
