@@ -19,8 +19,8 @@ near-duplicate detection, each expressed Ray-Data-first:
   per-shingle fan-out cap, exact Jaccard verification.
 - **embedding**: cosine near-dup pairs; the small-side matrix is
   broadcast once via ``ray.put`` and each batch does one float64 matmul
-  against it (brute-force baseline; the LSH-bucketed scale path is
-  ``similarity.lsh_buckets``).
+  against it (brute-force baseline; ``embedding_dup_pairs_lsh`` is the
+  bucketed scale path).
 
 Scale notes (100 TB): every groupby key here is a fixed-width integer
 (hash / band bucket), so shuffles move narrow columns; text/embeddings
