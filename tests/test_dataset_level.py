@@ -123,3 +123,37 @@ def test_batched_fuzzy_matches_per_query(words_index, ref_words):
         expect = sorted(one.to_pandas()["key"])
         got = sorted(batched[batched["query"] == q]["key"])
         assert got == expect
+
+
+def test_index_parquet_roundtrip(ray_session, words_index, tmp_path,
+                                 golden_lev):
+    """The FST index dataset persists to partitioned Parquet and reads
+    back fully queryable — the role of the reference's FST *file*
+    (fst.h:208-217) with resumable, shardable storage."""
+    import ray.data as rd
+    path = str(tmp_path / "fst_index")
+    words_index.write_parquet(path)
+    reloaded = rd.read_parquet(path)
+    res = search_dictionary(reloaded, "fuzzy", has_output=False,
+                            query="hair", d=2, damerau=False)
+    assert sorted(res.to_pandas()["key"]) == sorted(golden_lev)
+
+
+def test_batched_pool_match_and_prefix_kinds(words_index, ref_words):
+    import pyarrow as pa
+    import ray.data as rd
+    from orchid_fst_ray.stages.dictionary import search_dictionary_many
+    words = set(ref_words)
+    qds = rd.from_arrow(pa.table({
+        "query": pa.array(["hair", "nosuchword_zz"], pa.large_string())}))
+    got = search_dictionary_many(words_index, qds, kind="match",
+                                 has_output=False,
+                                 concurrency=2).to_pandas()
+    assert sorted(got["key"]) == sorted(k for k in ["hair"] if k in words)
+    qds2 = rd.from_arrow(pa.table({
+        "query": pa.array(["hairb"], pa.large_string())}))
+    got2 = search_dictionary_many(words_index, qds2, kind="prefix",
+                                  has_output=False,
+                                  concurrency=2).to_pandas()
+    assert sorted(got2["key"]) == sorted(
+        w for w in words if w.startswith("hairb"))
