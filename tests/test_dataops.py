@@ -275,3 +275,66 @@ def test_curate_corpus_end_to_end(ray_session, docs_table):
     ok = set(q[q["quality_ok"]]["doc_id"])
     assert set(out_ids) <= ok
     assert not (set(out_ids) & set(range(2000, 2005)))
+
+
+def test_simhash_recall_on_planted_near_dups(ray_session, docs_table):
+    """Banding guarantee: pairs within Hamming ≤ 3 share a 16-bit band
+    (pigeonhole), so planted near-identical docs MUST be found."""
+    import ray.data as rd
+    texts = docs_table["text"].to_pylist()[:50]
+    rows_id, rows_t = [], []
+    for i, t in enumerate(texts):
+        rows_id.append(i)
+        rows_t.append(t)
+        toks = t.split()
+        toks[len(toks) // 2] = "zzqx"   # one token changed
+        rows_id.append(1000 + i)
+        rows_t.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(rows_id, pa.int64()),
+        "text": pa.array(rows_t, pa.large_string())})).repartition(4)
+    sigs = dedup.simhash_signatures(ds).to_pandas()
+    by_id = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    wanted = {(i, 1000 + i) for i in range(50)
+              if bin(int(by_id[i]) ^ int(by_id[1000 + i])).count("1") <= 3}
+    got = dedup.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert wanted, "fixture should produce at least one close pair"
+    assert wanted <= got_pairs
+
+
+def test_lang_id_de_fr(ray_session):
+    from orchid_fst_ray.pipelines import textstats as ts2
+    import ray.data as rd
+    rows = [
+        ("die katze ist auf dem tisch und der hund ist nicht da", "de"),
+        ("das ist ein gutes buch und es ist nicht zu lang", "de"),
+        ("le chat est sur la table et le chien est dans le jardin", "fr"),
+        ("c est une bonne chose pour les gens et pas pour le reste", "fr"),
+        ("the cat is on the table and the dog is in the garden", "en"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.large_string())}))
+    got = ts2.lang_id(ds).to_pandas().sort_values("doc_id")
+    assert got["pred_lang"].tolist() == [r[1] for r in rows]
+
+
+def test_checkpoint_invalidation_on_fingerprint_change(ray_session, tmp_path):
+    """A changed input fingerprint must invalidate the checkpoint (no
+    stale resume)."""
+    import ray.data as rd
+    from orchid_fst_ray.state.checkpoint import CheckpointStore
+    store = CheckpointStore(str(tmp_path / "ck"))
+    t1 = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    ds1, resumed1 = store.run_stage("s", "fp-A",
+                                    lambda: rd.from_arrow(t1))
+    assert not resumed1 and ds1.count() == 3
+    # same fingerprint → resume
+    _, resumed2 = store.run_stage("s", "fp-A", lambda: 1 / 0)
+    assert resumed2
+    # different fingerprint → recompute
+    t2 = pa.table({"x": pa.array([9], pa.int64())})
+    ds3, resumed3 = store.run_stage("s", "fp-B",
+                                    lambda: rd.from_arrow(t2))
+    assert not resumed3 and ds3.count() == 1
