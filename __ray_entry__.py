@@ -199,6 +199,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tumbling_window_stats(ev).sort(["window_start",
                                                "event_type"])
 
+    def events_asof(sf_dir: str):
+        """AS-OF join: each purchase matched to the user's latest
+        strictly-prior click."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import asof_join_prior
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return asof_join_prior(ev, "purchase", "click").sort("event_id")
+
     def events_sessions(sf_dir: str):
         import ray.data as rd
         from orchid_fst_ray.pipelines.events import sessionize
@@ -341,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_intersect": dict_intersect_q,
         "dict_difference": dict_difference_q,
         "events_window": events_window,
+        "events_asof": events_asof,
         "events_sessions": events_sessions,
         "lineitem_summary": lineitem_summary,
         "orders_per_priority": orders_per_priority,
@@ -430,6 +439,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_asof": """
+            SELECT l.event_id AS event_id, r.event_id AS prior_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts > r.ts
+            ORDER BY event_id""",
         "events_sessions": """
             WITH o AS (
               SELECT user_id, ts,

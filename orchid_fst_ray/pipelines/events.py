@@ -93,3 +93,70 @@ def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
     return (events_ds.select_columns([user_col, ts_col])
             .sort(user_col)
             .map_batches(cut, batch_size=None, batch_format="pyarrow"))
+
+
+def asof_join_prior(events_ds, left_type: str, right_type: str,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id"):
+    """AS-OF join: for each ``left_type`` event, the LATEST strictly
+    prior ``right_type`` event of the same user → (event_id, prior_id).
+    Left events with no prior right event are dropped (inner asof).
+
+    Ray Data has no asof join; this is the custom-operator composition
+    the engine uses: tag both sides, ONE range-partition sort on the
+    user key (equal keys co-locate; ts ordered within the block
+    locally), then a linear merge per user run — no hash-join actors,
+    no per-group tasks.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def tag(ds, kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["event_type"],
+                            left_type if kind == 0 else right_type)
+            t = t.filter(mask)
+            return pa.table({
+                user_col: t[user_col].cast(pa.int64()),
+                "_tsv": t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                id_col: t[id_col].cast(pa.int64()),
+                "_kind": pa.array([kind] * t.num_rows, pa.int8()),
+            })
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    both = tag(events_ds, 0).union(tag(events_ds, 1))
+
+    def merge(t: pa.Table) -> pa.Table:
+        users = np.asarray(t[user_col].to_pylist(), dtype=np.int64)
+        tsv = np.asarray(t["_tsv"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        kind = np.asarray(t["_kind"].to_pylist(), dtype=np.int8)
+        # order by (user, ts, kind) — kind ascending puts LEFT before
+        # RIGHT on ts ties, so an equal-ts right is never visible to a
+        # left (prior = strictly earlier, like DuckDB's ASOF l.ts>r.ts)
+        order = np.lexsort((kind, tsv, users))
+        users, tsv, ids, kind = (users[order], tsv[order],
+                                 ids[order], kind[order])
+        out_l, out_r = [], []
+        last_right = -1
+        last_right_ts = None
+        cur_user = None
+        for i in range(len(users)):
+            if users[i] != cur_user:
+                cur_user = users[i]
+                last_right = -1
+                last_right_ts = None
+            if kind[i] == 1:
+                last_right = ids[i]
+                last_right_ts = tsv[i]
+            else:
+                if last_right >= 0 and last_right_ts < tsv[i]:
+                    out_l.append(int(ids[i]))
+                    out_r.append(int(last_right))
+        return pa.table({
+            "event_id": pa.array(out_l, pa.int64()),
+            "prior_id": pa.array(out_r, pa.int64()),
+        })
+
+    return both.sort(user_col).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")

@@ -82,3 +82,28 @@ def test_sessionize_vs_bruteforce(ray_session):
         assert r["n_events"] == len(ss)
         assert r["session_start"] == min(ss)
         assert r["session_end"] == max(ss)
+
+
+def test_asof_join_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.events import asof_join_prior
+    ev = pq.read_table(f"{SF}/events.parquet")
+    rows = list(zip(ev["event_id"].to_pylist(), ev["user_id"].to_pylist(),
+                    ev["ts"].to_pylist(), ev["event_type"].to_pylist()))
+    oracle = {}
+    for eid, u, ts, et in rows:
+        if et != "purchase":
+            continue
+        best = None
+        for rid, ru, rts, ret in rows:
+            if ret == "click" and ru == u and rts < ts:
+                if best is None or rts > best[1]:
+                    best = (rid, rts)
+        if best is not None:
+            oracle[eid] = best[0]
+    got = asof_join_prior(rd.from_arrow(ev).repartition(4),
+                          "purchase", "click").to_pandas()
+    got_map = dict(zip(got["event_id"].astype(int),
+                       got["prior_id"].astype(int)))
+    assert got_map == oracle
