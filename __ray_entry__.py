@@ -207,6 +207,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet")
         return asof_join_prior(ev, "purchase", "click").sort("event_id")
 
+    def events_range_join(sf_dir: str):
+        """Range join: purchases paired with all same-user clicks in
+        the prior 30 minutes."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import range_join_window
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return range_join_window(ev, "purchase", "click",
+                                 window_minutes=30).sort(
+            ["event_id", "match_id"])
+
     def events_sessions(sf_dir: str):
         import ray.data as rd
         from orchid_fst_ray.pipelines.events import sessionize
@@ -350,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_difference": dict_difference_q,
         "events_window": events_window,
         "events_asof": events_asof,
+        "events_range_join": events_range_join,
         "events_sessions": events_sessions,
         "lineitem_summary": lineitem_summary,
         "orders_per_priority": orders_per_priority,
@@ -445,6 +456,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts > r.ts
             ORDER BY event_id""",
+        "events_range_join": """
+            SELECT l.event_id AS event_id, r.event_id AS match_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND r.ts < l.ts
+             AND r.ts >= l.ts - INTERVAL 30 MINUTE
+            ORDER BY event_id, match_id""",
         "events_sessions": """
             WITH o AS (
               SELECT user_id, ts,

@@ -160,3 +160,69 @@ def asof_join_prior(events_ds, left_type: str, right_type: str,
 
     return both.sort(user_col).map_batches(
         merge, batch_size=None, batch_format="pyarrow")
+
+
+def range_join_window(events_ds, left_type: str, right_type: str,
+                      window_minutes: int = 30,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id"):
+    """RANGE join: every (left, right) pair of the same user with
+    ``l.ts - window <= r.ts < l.ts`` → (event_id, match_id). The
+    second prompt-listed operator Ray Data lacks; same composition as
+    :func:`asof_join_prior` — tag, one sort on the user key, per-run
+    two-pointer sweep (each right enters/leaves the window once:
+    O(n + output))."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    win_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def tag(ds, kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["event_type"],
+                            left_type if kind == 0 else right_type)
+            t = t.filter(mask)
+            return pa.table({
+                user_col: t[user_col].cast(pa.int64()),
+                "_tsv": t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                id_col: t[id_col].cast(pa.int64()),
+                "_kind": pa.array([kind] * t.num_rows, pa.int8()),
+            })
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    both = tag(events_ds, 0).union(tag(events_ds, 1))
+
+    def merge(t: pa.Table) -> pa.Table:
+        users = np.asarray(t[user_col].to_pylist(), dtype=np.int64)
+        tsv = np.asarray(t["_tsv"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        kind = np.asarray(t["_kind"].to_pylist(), dtype=np.int8)
+        order = np.lexsort((kind, tsv, users))
+        users, tsv, ids, kind = (users[order], tsv[order],
+                                 ids[order], kind[order])
+        out_l, out_r = [], []
+        # per-user ring of rights inside the window
+        from collections import deque
+        ring: deque = deque()
+        cur_user = None
+        for i in range(len(users)):
+            if users[i] != cur_user:
+                cur_user = users[i]
+                ring.clear()
+            if kind[i] == 1:
+                ring.append((tsv[i], ids[i]))
+            else:
+                lo = tsv[i] - win_us
+                while ring and ring[0][0] < lo:
+                    ring.popleft()
+                for rts, rid in ring:
+                    if rts < tsv[i]:
+                        out_l.append(int(ids[i]))
+                        out_r.append(int(rid))
+        return pa.table({
+            "event_id": pa.array(out_l, pa.int64()),
+            "match_id": pa.array(out_r, pa.int64()),
+        })
+
+    return both.sort(user_col).map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
