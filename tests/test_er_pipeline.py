@@ -142,3 +142,26 @@ def test_empty_pages_input(ray_session):
     }))
     res = run_er(pages, num_partitions=2, scorer_concurrency=1)
     assert res["assignment"].count() == 0
+
+
+def test_partial_resume_after_simulated_crash(ray_session, fixture, tmp_path):
+    """Crash-mid-run resume: wipe the LATER stage checkpoints (as if the
+    process died between stages), rerun, and verify the early stages
+    resume from disk while the later ones recompute — output identical."""
+    import shutil
+    import ray.data as rd
+    pages = rd.from_arrow(fixture["pages"]).repartition(4)
+    ckpt = str(tmp_path / "ck")
+    r1 = run_er(pages, num_partitions=4, scorer_concurrency=2,
+                checkpoint_dir=ckpt, input_fingerprint="crashfix")
+    a1 = assignment_from_components(r1["assignment"])
+    # simulate a crash after the candidates stage completed
+    shutil.rmtree(f"{ckpt}/scored")
+    shutil.rmtree(f"{ckpt}/clusters")
+    r2 = run_er(pages, num_partitions=4, scorer_concurrency=2,
+                checkpoint_dir=ckpt, input_fingerprint="crashfix")
+    stages = {row["stage"]: row["resumed"] for row in r2["lineage"]}
+    assert stages["docs"] and stages["candidates"]
+    assert not stages["scored"] and not stages["clusters"]
+    a2 = assignment_from_components(r2["assignment"])
+    assert a1 == a2
