@@ -40,7 +40,6 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     duplicate/near-dup cluster (deterministic).
     """
     import ray
-    import ray.data as rd
 
     metrics: dict = {}
     n_input = docs_ds.count()

@@ -31,7 +31,6 @@ is capped (``max_bucket``) and truncation is observable, never silent.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from orchid_fst_ray.functions.hashing import hash64, hash64_pairs, minhash_permute

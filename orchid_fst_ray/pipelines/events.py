@@ -12,7 +12,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_window_stats", "sessionize"]
+__all__ = ["tumbling_window_stats", "sessionize",
+           "asof_join_prior", "range_join_window"]
 
 
 def tumbling_window_stats(events_ds, ts_col: str = "ts",

@@ -30,7 +30,8 @@ import pyarrow as pa
 from orchid_fst_ray.fst import FstBuilder, fuzzy_automaton
 
 __all__ = ["BlockCandidates", "generate_candidates",
-           "generate_url_candidates", "dedupe_pairs"]
+           "generate_hot_candidates", "generate_url_candidates",
+           "dedupe_pairs"]
 
 
 class BlockCandidates:
