@@ -72,20 +72,21 @@ def connected_components(edges_ds, node_a: str = "url_a",
                          nodes_ds=None, node_col: str = "url",
                          num_partitions: int = 16,
                          max_iters: int = 25,
-                         driver_threshold: int = 200_000,
+                         driver_threshold: int = 2_000_000,
                          salt_partitions: int | None = None):
     """edges(node_a, node_b) [+ optional nodes(node_col) seeds] →
     (url, cluster_id); cluster_id = lexicographic min node of the
     component. Seeded nodes with no edges come back as singletons.
     Driver loop with materialized per-iteration labels.
 
-    Small-graph fast path: when the (deduped) edge list has at most
-    ``driver_threshold`` rows it is collected and solved with
-    driver-side union-find, and the labels are broadcast back over the
-    seeds via ``ray.put`` — zero shuffles instead of 2 per iteration.
-    The near-dup edge set is orders of magnitude smaller than the doc
-    set, but at 10^12-doc scale it still exceeds any driver, so the
-    distributed min-label loop below remains the default path there.
+    Small-graph fast path: when the SYMMETRIZED edge list has at most
+    ``driver_threshold`` rows (~2M rows ≈ 1M pairs collects in a few
+    seconds / a few hundred MB) it is solved with driver-side
+    union-find and the labels broadcast back over the seeds via
+    ``ray.put`` — zero shuffles instead of 2 per iteration. The
+    near-dup edge set is orders of magnitude smaller than the doc set,
+    but at 10^12-doc scale it still exceeds any driver, so the
+    distributed min-label loop below remains the path there.
     """
     import ray.data as rd
 
