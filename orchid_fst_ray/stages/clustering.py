@@ -145,24 +145,115 @@ def connected_components(edges_ds, node_a: str = "url_a",
         if sig == prev_sig:
             break
         prev_sig = sig
-        # messages: neighbor labels flow along edges
-        msgs = edges.join(labels, join_type="inner",
-                          num_partitions=num_partitions,
-                          on=("src",), right_on=("node",))
-        msgs = msgs.map_batches(lambda t: pa.table({
-            "node": t["dst"].cast(pa.string()),
-            "label": t["label"].cast(pa.string()),
-        }), batch_format="pyarrow")
-        combined = msgs.union(labels)
-        labels = compact_nonempty(
-            _min_label_agg(combined, salt_partitions),
-            schema=_LABEL_SCHEMA)
+        # messages: neighbor labels flow along edges — a SORT-MERGE
+        # join (tag, sort on src, per-run fan-out) + a sorted-run min:
+        # two task-based sorts per iteration instead of a hash-join
+        # reducer pool + hash aggregate. Iteration count ~ component
+        # diameter (tiny for ER near-dup clusters; pointer-jumping /
+        # small-star would be the upgrade for high-diameter graphs).
+        if salt_partitions:
+            msgs = _messages_sort_merge(edges, labels)
+            combined = msgs.union(labels)
+            labels = compact_nonempty(
+                _min_label_agg(combined, salt_partitions),
+                schema=_LABEL_SCHEMA)
+        else:
+            labels = compact_nonempty(
+                _propagate_once(edges, labels), schema=_LABEL_SCHEMA)
+            # pointer jump (distance doubling): treat (label → node) as
+            # edges so each node also adopts its label's label —
+            # O(log diameter) outer iterations instead of O(diameter)
+            label_edges = labels.map_batches(lambda t: pa.table({
+                "src": t["label"].cast(pa.string()),
+                "dst": t["node"].cast(pa.string()),
+            }), batch_format="pyarrow")
+            labels = compact_nonempty(
+                _propagate_once(label_edges, labels),
+                schema=_LABEL_SCHEMA)
     if seeds is not None:
         merged = (labels.union(seeds).groupby("node")
                   .aggregate(Min("label", alias_name="label"))
                   .map_batches(_cast_labels, batch_format="pyarrow"))
         labels = compact_nonempty(merged, schema=_LABEL_SCHEMA)
     return labels.map_batches(_rename_out, batch_format="pyarrow")
+
+
+def _messages_sort_merge(edges, labels):
+    """edges(src,dst) ⋈ labels(node,label) on src → (node=dst, label):
+    tagged union + ONE sort on the key + per-run fan-out (each run has
+    exactly one label row)."""
+    import numpy as np
+
+    e_tag = edges.map_batches(lambda t: pa.table({
+        "key": t["src"].cast(pa.string()),
+        "dst": t["dst"].cast(pa.string()),
+        "label": pa.nulls(t.num_rows, pa.string()),
+    }), batch_format="pyarrow")
+    l_tag = labels.map_batches(lambda t: pa.table({
+        "key": t["node"].cast(pa.string()),
+        "dst": pa.nulls(t.num_rows, pa.string()),
+        "label": t["label"].cast(pa.string()),
+    }), batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        keys = t["key"].to_pylist()
+        dsts = t["dst"].to_pylist()
+        labs = t["label"].to_pylist()
+        out_n, out_l = [], []
+        n = len(keys)
+        s = 0
+        while s < n:
+            e = s
+            lab = None
+            while e < n and keys[e] == keys[s]:
+                if labs[e] is not None:
+                    lab = labs[e]
+                e += 1
+            if lab is not None:
+                for i in range(s, e):
+                    if dsts[i] is not None:
+                        out_n.append(dsts[i])
+                        out_l.append(lab)
+            s = e
+        return pa.table({"node": pa.array(out_n, pa.string()),
+                         "label": pa.array(out_l, pa.string())})
+
+    return e_tag.union(l_tag).sort("key").map_batches(
+        merge, batch_size=None, batch_format="pyarrow")
+
+
+def _min_sorted_runs(ds):
+    """groupby(node).min(label) via sort + per-run min (labels are
+    strings; runs are small)."""
+
+    def reduce(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        labs = t["label"].to_pylist()
+        out_n, out_l = [], []
+        n = len(nodes)
+        s = 0
+        while s < n:
+            e = s
+            best = labs[s]
+            while e < n and nodes[e] == nodes[s]:
+                if labs[e] < best:
+                    best = labs[e]
+                e += 1
+            out_n.append(nodes[s])
+            out_l.append(best)
+            s = e
+        return pa.table({"node": pa.array(out_n, pa.string()),
+                         "label": pa.array(out_l, pa.string())})
+
+    return ds.sort("node").map_batches(
+        reduce, batch_size=None, batch_format="pyarrow")
+
+
+def _propagate_once(edges, labels):
+    """One min-label iteration: sort-merge message join + sorted-run
+    min combine."""
+    msgs = _messages_sort_merge(edges, labels)
+    return _min_sorted_runs(msgs.union(labels))
 
 
 def _driver_components(edges, seeds):
