@@ -157,3 +157,20 @@ def test_batched_pool_match_and_prefix_kinds(words_index, ref_words):
                                   concurrency=2).to_pandas()
     assert sorted(got2["key"]) == sorted(
         w for w in words if w.startswith("hairb"))
+
+
+def test_compact_nonempty_caps_blocks(ray_session):
+    """Block-count cap: compact coalesces past max_blocks (the guard
+    against iterative union+sort block-count compounding)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from orchid_fst_ray.functions.blocks import compact_nonempty
+    ds = rd.from_arrow(pa.table({"x": pa.array(range(1000))})).repartition(200)
+    out = compact_nonempty(ds, max_blocks=8)
+    assert out.count() == 1000
+    mat = out.materialize()
+    n_blocks = sum(len(b.blocks) for b in mat.iter_internal_ref_bundles())
+    assert n_blocks <= 8
+    # uncapped keeps the original granularity
+    out2 = compact_nonempty(ds, max_blocks=None)
+    assert out2.count() == 1000
