@@ -369,33 +369,29 @@ def _sort_merge_join(left, right, key_cols: list[str],
     out_cols = key_cols + left_payload + right_payload
 
     def merge(t: pa.Table) -> pa.Table:
-        keys = [t[c].to_pylist() for c in key_cols]
-        kind = t["_kind"].to_pylist()
-        lp = [t[c].to_pylist() for c in left_payload]
-        rp = [t[c].to_pylist() for c in right_payload]
-        n = len(kind)
-        out: dict[str, list] = {c: [] for c in out_cols}
-        s = 0
-        while s < n:
-            e = s
-            while e < n and all(k[e] == k[s] for k in keys):
-                e += 1
-            li = [i for i in range(s, e) if kind[i] == 0]
-            ri = [i for i in range(s, e) if kind[i] == 1]
-            for i in li:
-                for j in ri:
-                    for c, col in zip(key_cols, keys):
-                        out[c].append(col[s])
-                    for c, col in zip(left_payload, lp):
-                        out[c].append(col[i])
-                    for c, col in zip(right_payload, rp):
-                        out[c].append(col[j])
-            s = e
-        return pa.table({c: pa.array(out[c], pa.string())
-                         for c in out_cols})
+        # The sort co-locates every row of a key in one block, so the
+        # per-run cross product IS an in-block Arrow C++ hash join of
+        # the left-tagged rows against the right-tagged rows.
+        import pyarrow.compute as pc
+        left_t = t.filter(pc.equal(t["_kind"], 0)).select(
+            key_cols + left_payload)
+        right_t = t.filter(pc.equal(t["_kind"], 1)).select(
+            key_cols + right_payload)
+        if left_t.num_rows == 0 or right_t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.string())
+                             for c in out_cols})
+        joined = left_t.join(right_t, keys=key_cols, join_type="inner")
+        return pa.table({
+            c: joined[c].combine_chunks().cast(pa.string())
+            for c in out_cols})
 
     return both.sort(key_cols).map_batches(
         merge, batch_size=None, batch_format="pyarrow")
+
+
+def _PAIR_SCHEMA_EMPTY() -> pa.Table:
+    return pa.table({c: pa.array([], pa.string()) for c in (
+        "url_a", "url_b", "key_a", "key_b", "block_key", "source")})
 
 
 def _equal_value_pairs(docs_small, block_col: str, eq_col: str,
@@ -405,17 +401,16 @@ def _equal_value_pairs(docs_small, block_col: str, eq_col: str,
     vectorized pass."""
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        eq = t[eq_col].to_pylist()
+        from orchid_fst_ray.functions.runs import run_bounds
+        bounds = run_bounds(t[block_col], t[eq_col])
+        sizes = bounds[1:] - bounds[:-1]
+        if not (sizes > 1).any():   # all-singleton block: no Python scan
+            return _PAIR_SCHEMA_EMPTY()
         blocks = t[block_col].to_pylist()
         ids = t[id_col].to_pylist()
         keys = t[key_col].to_pylist()
         a, b, ka, kb, blk = [], [], [], [], []
-        n = len(eq)
-        s = 0
-        while s < n:
-            e = s
-            while e < n and eq[e] == eq[s] and blocks[e] == blocks[s]:
-                e += 1
+        for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s > 1:
                 rows = sorted(set(zip(ids[s:e], keys[s:e])))
                 for i in range(len(rows) - 1):
@@ -425,7 +420,6 @@ def _equal_value_pairs(docs_small, block_col: str, eq_col: str,
                         ka.append(rows[i][1])
                         kb.append(rows[j][1])
                         blk.append(blocks[s])
-            s = e
         return pa.table({
             "url_a": pa.array(a, pa.string()),
             "url_b": pa.array(b, pa.string()),
@@ -453,17 +447,16 @@ def generate_url_candidates(docs_ds, id_col: str = "url",
     mostly-singleton urls."""
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        import numpy as np
+        from orchid_fst_ray.functions.runs import run_bounds
+        bounds = run_bounds(t[url_col])
+        sizes = bounds[1:] - bounds[:-1]
+        if not (sizes > 1).any():   # all-singleton block: no Python scan
+            return _PAIR_SCHEMA_EMPTY()
         urls = t[url_col].to_pylist()
         ids = t[id_col].to_pylist()
         keys = t[key_col].to_pylist()
         a, b, ka, kb, blk = [], [], [], [], []
-        n = len(urls)
-        s = 0
-        while s < n:
-            e = s
-            while e < n and urls[e] == urls[s]:
-                e += 1
+        for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s > 1:
                 rows = sorted(zip(ids[s:e], keys[s:e]))
                 for i in range(len(rows) - 1):
@@ -473,7 +466,6 @@ def generate_url_candidates(docs_ds, id_col: str = "url",
                         ka.append(rows[i][1])
                         kb.append(rows[j][1])
                         blk.append(urls[s])
-            s = e
         return pa.table({
             "url_a": pa.array(a, pa.string()),
             "url_b": pa.array(b, pa.string()),

@@ -101,7 +101,7 @@ def connected_components(edges_ds, node_a: str = "url_a",
                 t[node_b].combine_chunks().cast(pa.string()),
                 t[node_a].combine_chunks().cast(pa.string())]),
         }), batch_format="pyarrow"),
-        schema=_EDGE_SCHEMA)
+        schema=_EDGE_SCHEMA, max_blocks=num_partitions)
 
     seeds = None
     if nodes_ds is not None:
@@ -137,45 +137,55 @@ def connected_components(edges_ds, node_a: str = "url_a",
                     t["src"].cast(pa.string()),
                     t["label"].cast(pa.string())),
             }), batch_format="pyarrow"))
-    labels = compact_nonempty(base, schema=_LABEL_SCHEMA)
+    labels = compact_nonempty(base, schema=_LABEL_SCHEMA,
+                              max_blocks=num_partitions)
 
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         sig = _label_signature(labels)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
         # messages: neighbor labels flow along edges — a SORT-MERGE
-        # join (tag, sort on src, per-run fan-out) + a sorted-run min:
-        # two task-based sorts per iteration instead of a hash-join
-        # reducer pool + hash aggregate. Iteration count ~ component
-        # diameter (tiny for ER near-dup clusters; pointer-jumping /
-        # small-star would be the upgrade for high-diameter graphs).
+        # join (tag, sort on src, in-block Arrow hash join) + a
+        # sorted-run min: two task-based sorts per iteration instead of
+        # a hash-join reducer pool + hash aggregate. The pointer-jump
+        # edges (label→node, distance doubling) ride the SAME round:
+        # one union, one sort, one merge — O(log diameter) rounds at
+        # half the stage count of a separate jump pass.
+        label_edges = labels.map_batches(_label_to_edges,
+                                         batch_format="pyarrow")
+        round_edges = edges.union(label_edges)
         if salt_partitions:
-            msgs = _messages_sort_merge(edges, labels)
-            combined = msgs.union(labels)
+            msgs = _messages_sort_merge(round_edges, labels)
             labels = compact_nonempty(
-                _min_label_agg(combined, salt_partitions),
-                schema=_LABEL_SCHEMA)
+                _min_label_agg(msgs.union(labels), salt_partitions),
+                schema=_LABEL_SCHEMA, max_blocks=num_partitions)
         else:
             labels = compact_nonempty(
-                _propagate_once(edges, labels), schema=_LABEL_SCHEMA)
-            # pointer jump (distance doubling): treat (label → node) as
-            # edges so each node also adopts its label's label —
-            # O(log diameter) outer iterations instead of O(diameter)
-            label_edges = labels.map_batches(lambda t: pa.table({
-                "src": t["label"].cast(pa.string()),
-                "dst": t["node"].cast(pa.string()),
-            }), batch_format="pyarrow")
-            labels = compact_nonempty(
-                _propagate_once(label_edges, labels),
-                schema=_LABEL_SCHEMA)
+                _propagate_once(round_edges, labels),
+                schema=_LABEL_SCHEMA, max_blocks=num_partitions)
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"connected_components: label propagation did not reach its "
+            f"fixpoint within max_iters={max_iters}; labels may split "
+            f"components. Raise max_iters (graph diameter > "
+            f"2^{max_iters}).", RuntimeWarning)
     if seeds is not None:
         merged = (labels.union(seeds).groupby("node")
                   .aggregate(Min("label", alias_name="label"))
                   .map_batches(_cast_labels, batch_format="pyarrow"))
         labels = compact_nonempty(merged, schema=_LABEL_SCHEMA)
     return labels.map_batches(_rename_out, batch_format="pyarrow")
+
+
+def _label_to_edges(t: pa.Table) -> pa.Table:
+    """(node, label) → pointer-jump edges (src=label, dst=node)."""
+    return pa.table({"src": t["label"].cast(pa.string()),
+                     "dst": t["node"].cast(pa.string())})
 
 
 def _messages_sort_merge(edges, labels):
@@ -196,27 +206,21 @@ def _messages_sort_merge(edges, labels):
     }), batch_format="pyarrow")
 
     def merge(t: pa.Table) -> pa.Table:
-        keys = t["key"].to_pylist()
-        dsts = t["dst"].to_pylist()
-        labs = t["label"].to_pylist()
-        out_n, out_l = [], []
-        n = len(keys)
-        s = 0
-        while s < n:
-            e = s
-            lab = None
-            while e < n and keys[e] == keys[s]:
-                if labs[e] is not None:
-                    lab = labs[e]
-                e += 1
-            if lab is not None:
-                for i in range(s, e):
-                    if dsts[i] is not None:
-                        out_n.append(dsts[i])
-                        out_l.append(lab)
-            s = e
-        return pa.table({"node": pa.array(out_n, pa.string()),
-                         "label": pa.array(out_l, pa.string())})
+        # The co-locating sort puts every row of a key in ONE block, so
+        # an in-block Arrow C++ hash join reproduces the per-run scan
+        # with zero Python per-row work. Labels are node-unique (they
+        # come from a min aggregate), so the join fans each edge out to
+        # exactly one message.
+        import pyarrow.compute as pc
+        labels_t = t.filter(pc.is_valid(t["label"])).select(
+            ["key", "label"])
+        edges_t = t.filter(pc.is_valid(t["dst"])).select(["key", "dst"])
+        if labels_t.num_rows == 0 or edges_t.num_rows == 0:
+            return _LABEL_SCHEMA.empty_table()
+        joined = edges_t.join(labels_t, keys="key", join_type="inner")
+        return pa.table({
+            "node": joined["dst"].combine_chunks().cast(pa.string()),
+            "label": joined["label"].combine_chunks().cast(pa.string())})
 
     return e_tag.union(l_tag).sort("key").map_batches(
         merge, batch_size=None, batch_format="pyarrow")
@@ -227,23 +231,15 @@ def _min_sorted_runs(ds):
     strings; runs are small)."""
 
     def reduce(t: pa.Table) -> pa.Table:
-        nodes = t["node"].to_pylist()
-        labs = t["label"].to_pylist()
-        out_n, out_l = [], []
-        n = len(nodes)
-        s = 0
-        while s < n:
-            e = s
-            best = labs[s]
-            while e < n and nodes[e] == nodes[s]:
-                if labs[e] < best:
-                    best = labs[e]
-                e += 1
-            out_n.append(nodes[s])
-            out_l.append(best)
-            s = e
-        return pa.table({"node": pa.array(out_n, pa.string()),
-                         "label": pa.array(out_l, pa.string())})
+        # Equal nodes are co-located by the sort, so a per-block Arrow
+        # hash aggregate (C++) replaces the per-run Python min scan.
+        if t.num_rows == 0:
+            return _LABEL_SCHEMA.empty_table()
+        agg = pa.TableGroupBy(t.select(["node", "label"]),
+                              "node").aggregate([("label", "min")])
+        return pa.table({
+            "node": agg["node"].combine_chunks().cast(pa.string()),
+            "label": agg["label_min"].combine_chunks().cast(pa.string())})
 
     return ds.sort("node").map_batches(
         reduce, batch_size=None, batch_format="pyarrow")

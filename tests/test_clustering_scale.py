@@ -1,0 +1,107 @@
+"""Adversarial-scale clustering fixtures + the pinned Ray sort invariant.
+
+The engine's cheap-join idiom (sort on the group key → process complete
+key-runs per block) relies on Ray 2.49's range-partition sort placing
+ALL rows with an equal key in one output block. That is an undocumented
+internal (``find_partition_index`` side='left'); if a Ray upgrade
+splits reduce outputs or changes boundary tie-side these tests go red
+before any silent wrong answers ship.
+"""
+
+import pyarrow as pa
+import pytest
+
+
+def _labels_dict(cc_ds):
+    out = {}
+    for b in cc_ds.iter_batches(batch_format="pyarrow"):
+        out.update(zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()))
+    return out
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "url_a": pa.array([a for a, _ in pairs], pa.string()),
+        "url_b": pa.array([b for _, b in pairs], pa.string()),
+    })).repartition(8)
+
+
+@pytest.mark.parametrize("salt", [None, 4])
+def test_mega_component_star_chain(ray_session, salt):
+    """ONE component holding every node — an 800-leaf star welded to a
+    64-node chain — through the distributed loop (driver_threshold=0),
+    both unsalted and salted. Labels must equal driver union-find."""
+    from orchid_fst_ray.stages.clustering import (
+        connected_components, union_find_components)
+    hub = "n1500"
+    pairs = [(hub, f"s{i:05d}") for i in range(800)]
+    pairs += [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(64)]
+    pairs.append(("c0000", hub))
+    oracle = union_find_components(pairs)
+
+    cc = connected_components(
+        _edges_ds(pairs), num_partitions=4, driver_threshold=0,
+        salt_partitions=salt)
+    got = _labels_dict(cc)
+    assert got == oracle
+    assert len(set(got.values())) == 1
+
+
+@pytest.mark.parametrize("salt", [None, 2])
+def test_high_diameter_chain_pointer_jumping(ray_session, salt):
+    """A 300-node path graph (diameter 300 ≫ 10 linear rounds)
+    converges only because pointer jumping doubles label reach per
+    round — on BOTH the salted and unsalted branches."""
+    from orchid_fst_ray.stages.clustering import (
+        connected_components, union_find_components)
+    pairs = [(f"p{i:04d}", f"p{i + 1:04d}") for i in range(300)]
+    oracle = union_find_components(pairs)
+    cc = connected_components(
+        _edges_ds(pairs), num_partitions=4, driver_threshold=0,
+        max_iters=10, salt_partitions=salt)
+    got = _labels_dict(cc)
+    assert got == oracle
+
+
+def test_nonconvergence_warns(ray_session):
+    """Exhausting max_iters without a fixpoint must WARN, not silently
+    return split components."""
+    from orchid_fst_ray.stages.clustering import connected_components
+    pairs = [(f"p{i:04d}", f"p{i + 1:04d}") for i in range(120)]
+    with pytest.warns(RuntimeWarning, match="did not reach"):
+        cc = connected_components(
+            _edges_ds(pairs), num_partitions=2, driver_threshold=0,
+            max_iters=2)
+        cc.materialize()
+
+
+def test_ray_sort_colocates_equal_keys(ray_session):
+    """PINNED INVARIANT (Ray 2.49.2): after ``ds.sort(key)`` every run
+    of an equal key lives in exactly one block — even with heavy
+    duplicate skew (one key = 50% of all rows) and many input blocks.
+    Sort-merge joins, sorted-run reduces, setops, sessionize and the
+    dedup run-reduces all depend on this."""
+    import ray.data as rd
+    hot = ["hot"] * 5000
+    rest = [f"k{i:05d}" for i in range(5000)]
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array(hot + rest, pa.string()),
+        "v": pa.array(range(10000), pa.int64()),
+    })).repartition(16).sort("key")
+
+    first_last = []
+    for bundle in ds.materialize().iter_internal_ref_bundles():
+        import ray
+        for ref, meta in bundle.blocks:
+            if not meta.num_rows:
+                continue
+            t = ray.get(ref)
+            keys = t["key"]
+            first_last.append((keys[0].as_py(), keys[-1].as_py()))
+    # blocks arrive in sorted order; adjacent blocks must not share a key
+    for (_, last), (first, _) in zip(first_last, first_last[1:]):
+        assert last != first, (
+            "Ray sort split an equal-key run across blocks — the "
+            "engine's sorted-run merge idiom is no longer safe on this "
+            "Ray version")
