@@ -406,6 +406,10 @@ sh AS (SELECT doc_id,
 
 _STOPS_SQL = ("['the','a','an','and','or','of','to','in','is','it',"
               "'that','for','on','with','as','at','by']")
+_STOPS_DE_SQL = ("['der','die','das','und','ist','ein','eine','nicht',"
+                 "'mit','von','zu','den','dem','sich']")
+_STOPS_FR_SQL = ("['le','la','les','et','est','un','une','pas','avec',"
+                 "'de','du','des','que','pour']")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -421,6 +425,14 @@ def oracle_sql() -> dict[str, str]:
         "dict_fuzzy_lev": (
             "SELECT DISTINCT p_name AS key FROM part "
             f"WHERE levenshtein(p_name, '{_FUZZY_QUERY}') <= 2 "
+            "ORDER BY key"),
+        # DuckDB's damerau_levenshtein is the same restricted
+        # (OSA/transposition) distance the engine's DL automaton
+        # implements, and it agrees byte==char on the ASCII part names
+        # (validated in tests/test_scoring.py).
+        "dict_fuzzy_damerau": (
+            "SELECT DISTINCT p_name AS key FROM part "
+            f"WHERE damerau_levenshtein(p_name, '{_FUZZY_QUERY}') <= 2 "
             "ORDER BY key"),
         "dict_union": """
             WITH l AS (SELECT p_name AS key, max(p_partkey) AS value
@@ -548,7 +560,61 @@ def oracle_sql() -> dict[str, str]:
                        '[a-z0-9]+')))::BIGINT AS n_distinct_tokens,
                    length(text)::BIGINT AS n_chars
             FROM documents ORDER BY doc_id""",
-        # quality_stats / lang_id / fingerprints / minhash / simhash /
+        "quality_stats": f"""
+            WITH base AS (
+              SELECT doc_id, length(text)::BIGINT AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS tk
+              FROM documents),
+            stats AS (
+              SELECT doc_id, n_chars, len(tk)::BIGINT AS n_tokens,
+                     len(list_filter(tk,
+                         x -> list_contains({_STOPS_SQL}, x)))::BIGINT
+                         AS n_stop, tk
+              FROM base),
+            ex AS (SELECT doc_id, unnest(tk) AS tok,
+                          generate_subscripts(tk, 1) AS pos FROM stats),
+            grp AS (SELECT doc_id, tok,
+                           pos - row_number() OVER (
+                               PARTITION BY doc_id, tok ORDER BY pos) AS g
+                    FROM ex),
+            rl AS (SELECT doc_id, count(*) AS run FROM grp
+                   GROUP BY doc_id, tok, g),
+            mr AS (SELECT doc_id, max(run)::BIGINT AS max_run FROM rl
+                   GROUP BY doc_id)
+            SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_stop,
+                   coalesce(mr.max_run, 0)::BIGINT AS max_run,
+                   (s.n_tokens >= 10 AND s.n_tokens <= 100000
+                    AND s.n_chars <= 12 * s.n_tokens
+                    AND s.n_tokens <= s.n_chars
+                    AND coalesce(mr.max_run, 0) < 8
+                    AND s.n_stop >= 0) AS quality_ok
+            FROM stats s LEFT JOIN mr ON s.doc_id = mr.doc_id
+            ORDER BY s.doc_id""",
+        "lang_id": f"""
+            WITH base AS (
+              SELECT doc_id, length(text)::BIGINT AS n_char,
+                     len(regexp_extract_all(text,
+                         '[\\x{{4E00}}-\\x{{9FFF}}]'))::BIGINT AS cjk,
+                     list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS tk
+              FROM documents),
+            h AS (SELECT doc_id, n_char, cjk,
+                         len(list_filter(tk,
+                             x -> list_contains({_STOPS_SQL}, x))) AS en,
+                         len(list_filter(tk,
+                             x -> list_contains({_STOPS_DE_SQL}, x))) AS de,
+                         len(list_filter(tk,
+                             x -> list_contains({_STOPS_FR_SQL}, x))) AS fr
+                  FROM base)
+            SELECT doc_id,
+                   CASE WHEN n_char > 0 AND cjk > 0 AND cjk * 4 >= n_char
+                             THEN 'zh'
+                        WHEN en >= de AND en >= fr THEN 'en'
+                        WHEN de >= fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM h ORDER BY doc_id""",
+        # fingerprints (siphash-based rolling hash) / minhash / simhash /
         # ann_lsh / ann_ivf / er_clusters / multimodal: not (exactly)
         # SQL-expressible → driver rows-only check; pytest oracles in
         # tests/test_dataops.py & tests/test_er_pipeline.py instead.

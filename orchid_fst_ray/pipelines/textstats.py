@@ -10,6 +10,11 @@ hash-compares values — float-free on purpose where an oracle exists).
   integer comparisons (Gopher-style length & repetition cuts);
 - language ID: vectorized stopword/charset n-gram heuristic;
 - document fingerprinting: winnowing-style rolling min-hash.
+
+Hot paths are exploded-token kernels: split once with an Arrow regex,
+flatten the list column, then express every per-document statistic as
+a numpy segment reduce over the (row, token) pairs — no Python loop
+touches a token.
 """
 
 from __future__ import annotations
@@ -33,26 +38,88 @@ _STOP_FR = ("le", "la", "les", "et", "est", "un", "une", "pas", "avec",
             "de", "du", "des", "que", "pour")
 
 
+def _explode_tokens(txt: pa.ChunkedArray | pa.Array):
+    """Lowercase, split on non-alphanumerics, flatten.
+
+    Returns ``(flat, row, n_rows)``: ``flat`` is the non-empty token
+    array, ``row[i]`` the (ascending) document index of ``flat[i]``.
+    """
+    low = pc.utf8_lower(pc.fill_null(pc.cast(txt, pa.large_string()), ""))
+    words = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+    arr = words.combine_chunks() if isinstance(
+        words, pa.ChunkedArray) else words
+    n = len(arr)
+    flat = arr.flatten()
+    counts = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), row[keep], n
+
+
+def _segment_starts(row: np.ndarray, n: int):
+    """Per-row contiguous segment bookkeeping for ``reduceat``: returns
+    (counts, starts-of-nonempty-rows, nonempty-row mask)."""
+    cnt = np.bincount(row, minlength=n) if len(row) else np.zeros(n, np.int64)
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    nz = cnt > 0
+    return cnt, starts[nz], nz
+
+
+def _stop_hits(flat: pa.Array, row: np.ndarray, n: int,
+               stops: tuple) -> np.ndarray:
+    mask = pc.is_in(flat, value_set=pa.array(stops)).to_numpy(
+        zero_copy_only=False)
+    return np.bincount(row[mask], minlength=n).astype(np.int64)
+
+
 def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, n_tokens, n_distinct_tokens, n_chars) per document."""
 
     def fn(t: pa.Table) -> pa.Table:
         txt = pc.cast(t[text_col], pa.large_string())
-        words = pc.split_pattern_regex(
-            pc.utf8_lower(txt), pattern="[^A-Za-z0-9]+")
-        # split produces empty strings at the edges; count non-empty
-        n_tokens = pc.count_substring_regex(txt, pattern=_WORD_PAT)
-        distinct = pa.array(
-            [len(set(w) - {""}) for w in words.to_pylist()], pa.int64())
+        flat, row, n = _explode_tokens(txt)
+        n_tokens = np.bincount(row, minlength=n).astype(np.int64)
+        # distinct per row: unique (row, token-code) pairs, then count
+        # the survivors per row — one np.unique, no Python sets
+        if len(flat):
+            codes = flat.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            key = row * (codes.max() + 1) + codes
+            uniq_rows = np.unique(key) // (codes.max() + 1)
+            distinct = np.bincount(uniq_rows, minlength=n).astype(np.int64)
+        else:
+            distinct = np.zeros(n, dtype=np.int64)
         return pa.table({
             id_col: t[id_col],
-            "n_tokens": pc.cast(n_tokens, pa.int64()),
-            "n_distinct_tokens": distinct,
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct_tokens": pa.array(distinct, pa.int64()),
             "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def _max_token_run(flat: pa.Array, row: np.ndarray, n: int) -> np.ndarray:
+    """Longest run of the same consecutive token per row. Vectorized:
+    run length ending at token i via a last-reset cumulative max, then
+    a per-row segment max (reduceat). Rows with no tokens → 0."""
+    m = len(flat)
+    if m == 0:
+        return np.zeros(n, dtype=np.int64)
+    codes = flat.dictionary_encode().indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    same = (codes[1:] == codes[:-1]) & (row[1:] == row[:-1])
+    x = same.astype(np.int64)
+    idx = np.arange(len(x), dtype=np.int64)
+    last_reset = np.maximum.accumulate(np.where(x == 0, idx, -1))
+    runlen = np.ones(m, dtype=np.int64)
+    runlen[1:] += np.where(x == 1, idx - last_reset, 0)
+    _, red_starts, nz = _segment_starts(row, n)
+    out = np.zeros(n, dtype=np.int64)
+    if len(red_starts):
+        out[nz] = np.maximum.reduceat(runlen, red_starts)
+    return out
 
 
 def quality_stats(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -65,28 +132,16 @@ def quality_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     n_chars), longest repeated-token run < 8, ≥ ``stop_hits_required``
     English stopword hits.
     """
-    stop_set = set(STOPWORDS_EN)
 
     def fn(t: pa.Table) -> pa.Table:
         txt = pc.cast(t[text_col], pa.large_string())
-        low = pc.utf8_lower(txt)
-        n_tokens = pc.cast(pc.count_substring_regex(low, pattern=_WORD_PAT),
-                           pa.int64())
+        flat, row, n = _explode_tokens(txt)
+        n_tokens = pa.array(
+            np.bincount(row, minlength=n).astype(np.int64), pa.int64())
         n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
-        words = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        n_stop, max_run = [], []
-        for w in words.to_pylist():
-            w = [x for x in w if x]
-            n_stop.append(sum(1 for x in w if x in stop_set))
-            run = best = 0
-            prev = None
-            for x in w:
-                run = run + 1 if x == prev else 1
-                prev = x
-                best = max(best, run)
-            max_run.append(best)
-        n_stop_a = pa.array(n_stop, pa.int64())
-        max_run_a = pa.array(max_run, pa.int64())
+        n_stop_a = pa.array(_stop_hits(flat, row, n, STOPWORDS_EN),
+                            pa.int64())
+        max_run_a = pa.array(_max_token_run(flat, row, n), pa.int64())
         ok = pc.and_(
             pc.and_(pc.greater_equal(n_tokens, min_tokens),
                     pc.less_equal(n_tokens, max_tokens)),
@@ -112,31 +167,26 @@ def quality_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, pred_lang) via a stopword + charset heuristic:
     zh when CJK chars dominate, else the language whose stopword list
-    hits most tokens (en default). Stateless vectorized map_batches."""
-    tables = {"en": set(STOPWORDS_EN), "de": set(_STOP_DE),
-              "fr": set(_STOP_FR)}
+    hits most tokens (ties break en > de > fr). Stateless vectorized
+    map_batches."""
 
     def fn(t: pa.Table) -> pa.Table:
         txt = pc.cast(t[text_col], pa.large_string())
-        cjk = pc.count_substring_regex(txt, pattern=r"[\x{4E00}-\x{9FFF}]")
-        n_char = pc.utf8_length(txt)
-        words = pc.split_pattern_regex(
-            pc.utf8_lower(txt), pattern="[^a-z0-9]+")
-        preds = []
-        for w, c, n in zip(words.to_pylist(), cjk.to_pylist(),
-                           n_char.to_pylist()):
-            if n and c and c * 4 >= n:
-                preds.append("zh")
-                continue
-            w = [x for x in w if x]
-            best, best_hits = "en", -1
-            for lang, stops in tables.items():
-                hits = sum(1 for x in w if x in stops)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
+        cjk = pc.count_substring_regex(
+            txt, pattern=r"[\x{4E00}-\x{9FFF}]").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        n_char = pc.utf8_length(txt).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat, row, n = _explode_tokens(txt)
+        en = _stop_hits(flat, row, n, STOPWORDS_EN)
+        de = _stop_hits(flat, row, n, _STOP_DE)
+        fr = _stop_hits(flat, row, n, _STOP_FR)
+        pred = np.where((en >= de) & (en >= fr), "en",
+                        np.where(de >= fr, "de", "fr"))
+        zh = (n_char > 0) & (cjk > 0) & (cjk * 4 >= n_char)
+        pred = np.where(zh, "zh", pred)
         return pa.table({id_col: t[id_col],
-                         "pred_lang": pa.array(preds, pa.string())})
+                         "pred_lang": pa.array(pred, pa.string())})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
