@@ -477,9 +477,16 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
         from orchid_fst_ray.pipelines.dedup import _vec_matrix
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         m = _vec_matrix(t[vec_col])
+        if m.size == 0:
+            # don't cache planes off an empty batch (dim would be wrong
+            # for every later batch in this worker) — just emit nothing
+            return pa.table({
+                "bucket": pa.array([], pa.uint64()),
+                id_col: pa.array([], pa.int64()),
+                "unit": pa.array([], pa.large_binary()),
+            })
         if "p" not in planes_holder:
-            planes_holder["p"] = _hyperplanes(
-                m.shape[1] if m.size else 1, bits, seed)
+            planes_holder["p"] = _hyperplanes(m.shape[1], bits, seed)
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
         unit = m / n[:, None]

@@ -33,6 +33,7 @@ CONFIG_VERSION = "er-v1"
 
 def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            score_threshold: float = 0.82, doc_key_tokens: int = 8,
+           max_char_dist: int | None = None,
            checkpoint_dir: str | None = None,
            input_fingerprint: str = "",
            num_partitions: int = 16,
@@ -40,10 +41,19 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            hot_block_rows: int | None = 4096,
            cluster_driver_threshold: int = 2_000_000) -> dict:
     """Run the pipeline; returns dict with ``assignment`` (url,
-    cluster_id Dataset), intermediate datasets, lineage and metrics."""
+    cluster_id Dataset), intermediate datasets, lineage and metrics.
+
+    ``max_char_dist`` is the exact-distance bypass in scoring: pairs at
+    key edit distance ≤ it match regardless of score. It defaults to
+    ``d - 1`` so ``score_threshold`` genuinely gates the outermost ring
+    of fuzzy candidates (at ``max_char_dist >= d`` the threshold would
+    be dead code — every automaton-generated pair bypasses it)."""
+    if max_char_dist is None:
+        max_char_dist = max(0, d - 1)
     store = CheckpointStore(checkpoint_dir)
     cfg = (f"{CONFIG_VERSION}|{EXTRACTOR_VERSION}|d={d}|dl={damerau}"
-           f"|t={score_threshold}|k={doc_key_tokens}|{input_fingerprint}")
+           f"|t={score_threshold}|mcd={max_char_dist}"
+           f"|k={doc_key_tokens}|{input_fingerprint}")
     t_start = time.time()
     metrics: dict = {}
 
@@ -70,6 +80,7 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
     scored, resumed = store.run_stage(
         "scored", fp_scored,
         lambda: score_pairs(candidates, threshold=score_threshold,
+                            max_char_dist=max_char_dist,
                             concurrency=scorer_concurrency))
     metrics["scored_resumed"] = resumed
 

@@ -62,12 +62,29 @@ class PairScorer:
             jw = scores["jw"]
             es = scores["edit_sim"]
             dl = scores["dl"].to_pylist()
-            if any(d < 0 for d in dl):
+            bad = [i for i, d in enumerate(dl) if d < 0]
+            if bad:
+                # non-ASCII rows: DuckDB's distances count BYTES, so
+                # every similarity (not just char_dist) is recomputed
+                # with the character-level Python kernels — else
+                # edit_sim can even go negative for CJK (byte distance
+                # over char length).
+                from orchid_fst_ray.fst import levenshtein
                 ka = batch["key_a"].to_pylist()
                 kb = batch["key_b"].to_pylist()
-                dl = [d if d >= 0 else damerau_levenshtein_osa(
-                    a or "", b or "")
-                    for d, a, b in zip(dl, ka, kb)]
+                jw_np = jw.combine_chunks().to_numpy(
+                    zero_copy_only=False).copy()
+                es_np = es.combine_chunks().to_numpy(
+                    zero_copy_only=False).copy()
+                for i in bad:
+                    a, b = ka[i] or "", kb[i] or ""
+                    dl[i] = damerau_levenshtein_osa(a, b)
+                    jw_np[i] = _jaro_winkler(a, b)
+                    es_np[i] = (1.0 if max(len(a), len(b)) == 0 else
+                                1.0 - levenshtein(a, b) / max(len(a),
+                                                              len(b)))
+                jw = pa.array(jw_np, pa.float64())
+                es = pa.array(es_np, pa.float64())
             cd = pa.array(dl, pa.int32())
         else:  # pragma: no cover
             from orchid_fst_ray.fst import levenshtein
@@ -141,13 +158,20 @@ def _jaro_winkler(a: str, b: str, p: float = 0.1) -> float:
 
 
 def score_pairs(pairs_ds, threshold: float = 0.82, jw_weight: float = 0.5,
-                max_char_dist: int = 2,
+                max_char_dist: int = 1,
                 concurrency=(2, 8), batch_size: int = 8192):
     """Actor-pool scoring + threshold filter; returns matched pairs with
     (jw, edit_sim, char_dist, score) columns. A pair passes when its
     blended score clears ``threshold`` OR its exact character edit
-    distance is within ``max_char_dist`` (the blocking budget) OR it is
-    a same-normalized-url pair."""
+    distance is within ``max_char_dist`` OR it is a same-normalized-url
+    pair.
+
+    NOTE the interaction with blocking: fuzzy candidates are generated
+    by a distance-``d`` automaton, so setting ``max_char_dist >= d``
+    makes the score threshold dead code (every fuzzy pair bypasses).
+    Keep ``max_char_dist < d`` (default 1 vs the d=2 blocking budget)
+    so the blended score actually gates the outermost distance ring;
+    set it to ``d`` deliberately if scoring should be annotation-only."""
     import pyarrow.compute as pc
     scored = pairs_ds.map_batches(
         PairScorer, fn_constructor_kwargs={"jw_weight": jw_weight},

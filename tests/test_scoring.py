@@ -49,3 +49,38 @@ def test_empty_batch():
     out = PairScorer()(_batch([]))
     assert out.num_rows == 0
     assert {"jw", "edit_sim", "char_dist", "score"} <= set(out.column_names)
+
+
+def test_cjk_similarities_char_level_and_bounded():
+    """jw / edit_sim on non-ASCII rows must be character-level and in
+    [0, 1] — DuckDB's byte-oriented levenshtein over char length() can
+    go NEGATIVE for CJK (e.g. 1 - 6bytes/4chars)."""
+    pairs = [("中国人民", "中国心"), ("中国", "中国"), ("中文", "英文")]
+    out = PairScorer()(_batch(pairs))
+    es = out["edit_sim"].to_pylist()
+    jw = out["jw"].to_pylist()
+    assert all(0.0 <= x <= 1.0 for x in es + jw)
+    # 4-char vs 3-char key, OSA distance 2 → edit_sim = 1 - 2/4
+    assert es[0] == 0.5
+    assert es[1] == 1.0 and jw[1] == 1.0
+    assert es[2] == 0.5          # 1 char of 2 differs
+
+
+def test_score_threshold_gates_outer_ring(ray_session):
+    """With max_char_dist=1 (the run_er default at d=2) a LOW-score
+    distance-2 pair is dropped while a high-score distance-2 pair
+    survives — the threshold is live, not dead code."""
+    import ray.data as rd
+    from orchid_fst_ray.stages.scoring import score_pairs
+    pairs = rd.from_arrow(_batch([
+        ("ab", "zy"),                               # dist 2, garbage score
+        ("the quick brown fox jumps over",
+         "the quick brown fax jumps ovur"),          # dist 2, high score
+        ("same", "samx"),                            # dist 1 → bypass
+    ]))
+    out = score_pairs(pairs, threshold=0.82, max_char_dist=1).to_pandas()
+    kept = set(zip(out["key_a"], out["key_b"]))
+    assert ("ab", "zy") not in kept
+    assert ("the quick brown fox jumps over",
+            "the quick brown fax jumps ovur") in kept
+    assert ("same", "samx") in kept
