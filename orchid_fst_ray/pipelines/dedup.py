@@ -37,7 +37,8 @@ from orchid_fst_ray.functions.hashing import hash64, hash64_pairs, minhash_permu
 from orchid_fst_ray.functions.text import WORD_RE, token_shingles
 
 __all__ = [
-    "exact_dedup", "minhash_signatures", "minhash_dup_pairs",
+    "exact_dedup", "exact_dedup_rows",
+    "minhash_signatures", "minhash_dup_pairs",
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh",
     "shingle_hashes",
@@ -73,6 +74,31 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             .map_batches(add_hash, batch_format="pyarrow")
             .sort("_h")
             .map_batches(min_per_text, batch_size=None,
+                         batch_format="pyarrow"))
+
+
+def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Like :func:`exact_dedup` but returns the FULL surviving rows
+    (all input columns), so a composite pipeline needs no id semi-join
+    back to the corpus: the payload moves through exactly ONE shuffle
+    (the content-hash sort) and each block keeps the min-id row per
+    distinct text within its co-located hash runs."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column("_h", pa.array(hash64(t[text_col]),
+                                              pa.uint64()))
+
+    def keep_min_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_h"])
+        g = t.select([text_col, id_col]).to_pandas()
+        idx = g.groupby(text_col, sort=False)[id_col].idxmin()
+        return t.take(pa.array(np.sort(idx.to_numpy()))).drop_columns(
+            ["_h"])
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .sort("_h")
+            .map_batches(keep_min_rows, batch_size=None,
                          batch_format="pyarrow"))
 
 
@@ -186,11 +212,10 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = buckets.sort("bucket").map_batches(
         block_pairs, batch_size=None, batch_format="pyarrow")
 
-    # the same pair fires in multiple bands: vectorized hash-aggregate
-    # dedup (the estimate is identical in every band)
-    from ray.data.aggregate import Min
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard"))
+    # the same pair fires in multiple bands with an IDENTICAL estimate:
+    # dedup = first row per (id_a,id_b) run after one sort — the
+    # hash-aggregate reducer pool costs seconds of spin-up this avoids
+    return _first_per_pair(pairs)
 
 
 # ------------------------------------------------------------------- simhash
@@ -274,9 +299,24 @@ def simhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     pairs = buckets.sort("bucket").map_batches(
         block_pairs, batch_size=None, batch_format="pyarrow")
-    from ray.data.aggregate import Min
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return _first_per_pair(pairs)
+
+
+def _first_per_pair(pairs_ds):
+    """Collapse duplicate (id_a, id_b) rows — whose payload columns are
+    identical by construction — to one row each: sort on the FULL pair
+    key (equal keys co-locate in one block) + per-block vectorized
+    run-boundary take. Replaces a hash-aggregate reducer pool."""
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        from orchid_fst_ray.functions.runs import run_bounds
+        bounds = run_bounds(t["id_a"], t["id_b"])
+        return t.take(pa.array(bounds[:-1]))
+
+    return pairs_ds.sort(["id_a", "id_b"]).map_batches(
+        reduce, batch_size=None, batch_format="pyarrow")
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:

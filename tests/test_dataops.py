@@ -277,6 +277,25 @@ def test_curate_corpus_end_to_end(ray_session, docs_table):
     assert not (set(out_ids) & set(range(2000, 2005)))
 
 
+def test_curation_driver_materialization_bounded(ray_session, docs_table):
+    """The composite must not pull corpus-sized data to the driver:
+    curate_corpus's only driver-crossing structure is the near-dup drop
+    list, bounded by 2x the pair count; the gates and exact dedup stay
+    dataset-side (source tripwire below)."""
+    import inspect
+    import ray.data as rd
+    from orchid_fst_ray.pipelines import curation
+
+    src = inspect.getsource(curation.curate_corpus)
+    for pat in ("iter_batches", "to_pandas", "take_all", "iter_rows"):
+        assert pat not in src, f"driver materialization crept in: {pat}"
+
+    ds = rd.from_arrow(docs_table.select(["doc_id", "text"])).repartition(4)
+    res = curation.curate_corpus(ds, near_dup_threshold=0.6)
+    m = res["metrics"]
+    assert m["near_dup_dropped"] <= 2 * m["near_dup_pairs"]
+
+
 def test_simhash_recall_on_planted_near_dups(ray_session, docs_table):
     """Banding guarantee: pairs within Hamming ≤ 3 share a 16-bit band
     (pigeonhole), so planted near-identical docs MUST be found."""
