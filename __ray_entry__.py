@@ -138,8 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  damerau=False).sort("key")
 
     def dict_fuzzy_batch(sf_dir: str):
-        """Actor-pool batched fuzzy probe (FstSearcherPool): several
-        query strings at d=1 against the distinct p_name set."""
+        """Batched fuzzy probe through the SHARDED (queries ×
+        index-partition-ranges) path — broadcast_max_bytes=0 forces it
+        so the oracle exercises the 100 TB-index code path; the
+        broadcast/actor-pool path is parity-tested in pytest."""
         import ray.data as rd
         from orchid_fst_ray.stages.dictionary import (
             build_dictionary, search_dictionary_many)
@@ -149,7 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "query": pa.array(_BATCH_QUERIES, pa.large_string())}))
         return search_dictionary_many(
             idx, queries_ds, kind="fuzzy", has_output=False, d=1,
-            concurrency=(1, 4)).sort(["query", "key"])
+            concurrency=(1, 4),
+            broadcast_max_bytes=0).sort(["query", "key"])
 
     def dict_fuzzy_damerau(sf_dir: str):
         from orchid_fst_ray.stages.dictionary import build_dictionary

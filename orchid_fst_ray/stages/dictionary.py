@@ -231,16 +231,146 @@ class FstSearcherPool:
 def search_dictionary_many(index_ds, queries_ds, kind: str = "fuzzy",
                            has_output: bool = True,
                            concurrency=(1, 8), batch_size: int = 256,
+                           broadcast_max_bytes: int = 256 * 2 ** 20,
                            **params):
     """Probe MANY query strings against the dictionary with an actor
     pool: ``queries_ds`` has a ``query`` column; output is
-    ``(query, key[, value])`` rows for every hit."""
+    ``(query, key[, value])`` rows for every hit.
+
+    Two execution paths, chosen by total index size:
+
+    - **broadcast** (index ≤ ``broadcast_max_bytes``): the FST blobs go
+      to the object store once (``ray.put``) and every searcher actor
+      probes all partitions — right for dictionary-sized indexes hit by
+      many queries.
+    - **sharded** (bigger indexes): the index NEVER crosses the driver.
+      Queries fan out to (partition, query) rows — pruned by each
+      partition's [part_lo, part_hi] key range where the query kind
+      allows — and ONE sort on the partition key co-locates each FST
+      blob with its query group; every blob is deserialized once per
+      block and probed against its co-located queries.
+    """
+    import pyarrow.compute as pc
     import ray
-    blobs = [r["fst"] for r in
-             index_ds.select_columns(["fst"]).take_all()]
-    ref = ray.put(blobs)
-    return queries_ds.map_batches(
-        FstSearcherPool,
-        fn_constructor_args=(ref, kind, params, has_output),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+
+    # both paths scan the index more than once (size probe + ranges +
+    # blobs); pin the blocks in the object store so a lazily-built
+    # index isn't recomputed per pass (spillable, never driver memory)
+    index_ds = index_ds.materialize()
+
+    sizes = index_ds.map_batches(
+        lambda t: pa.table({"b": pa.array(
+            [int(pc.sum(pc.binary_length(t["fst"])).as_py() or 0)],
+            pa.int64())}), batch_format="pyarrow")
+    nbytes = sum(r["b"] for r in sizes.take_all())
+
+    if nbytes <= broadcast_max_bytes:
+        blobs = [r["fst"] for r in
+                 index_ds.select_columns(["fst"]).take_all()]
+        ref = ray.put(blobs)
+        return queries_ds.map_batches(
+            FstSearcherPool,
+            fn_constructor_args=(ref, kind, params, has_output),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+    return _search_many_sharded(index_ds, queries_ds, kind, has_output,
+                                params)
+
+
+def _query_prunes(kind: str, params: dict, q: str, lo: str,
+                  hi: str) -> bool:
+    """True when query ``q`` cannot match a partition spanning
+    [lo, hi]. Mirrors _Searcher.prunes per query string."""
+    if kind == "match":
+        return q < lo or q > hi
+    if kind == "prefix":
+        return hi < q or lo[:len(q)] > q
+    if kind == "fuzzy":
+        spl = params.get("same_prefix_len", 0)
+        if spl > 0:
+            pre = q[:spl]
+            return hi < pre or lo[:len(pre)] > pre
+    return False
+
+
+def _search_many_sharded(index_ds, queries_ds, kind: str,
+                         has_output: bool, params: dict):
+    """queries × index-partition-ranges join: only the O(partitions)
+    RANGE LIST (two strings per partition, not the blobs) touches the
+    driver; blobs move through one co-locating sort."""
+    ranges = sorted(
+        (r["part_lo"], r["part_hi"])
+        for r in index_ds.select_columns(["part_lo", "part_hi"])
+        .take_all())
+
+    def expand(t: pa.Table) -> pa.Table:
+        out_p, out_q = [], []
+        for q in t["query"].to_pylist():
+            for lo, hi in ranges:
+                if not _query_prunes(kind, params, q, lo, hi):
+                    out_p.append(lo)
+                    out_q.append(q)
+        return pa.table({
+            "part": pa.array(out_p, pa.large_string()),
+            "query": pa.array(out_q, pa.large_string()),
+            "fst": pa.nulls(len(out_p), pa.large_binary()),
+        })
+
+    def tag_index(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": t["part_lo"].cast(pa.large_string()),
+            "query": pa.nulls(t.num_rows, pa.large_string()),
+            "fst": t["fst"].cast(pa.large_binary()),
+        })
+
+    q_tag = queries_ds.map_batches(expand, batch_format="pyarrow")
+    i_tag = index_ds.map_batches(tag_index, batch_format="pyarrow")
+
+    def probe(t: pa.Table) -> pa.Table:
+        from orchid_fst_ray.functions.runs import run_bounds
+        out_q: list[str] = []
+        out_k: list[str] = []
+        out_v: list[int] = []
+        if t.num_rows:
+            queries = t["query"].to_pylist()
+            blobs = t["fst"].to_pylist()
+            aut_cache: dict[str, Any] = {}
+            bounds = run_bounds(t["part"])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                blob = next((blobs[i] for i in range(s, e)
+                             if blobs[i] is not None), None)
+                if blob is None:
+                    continue
+                fst = Fst.from_bytes(blob)
+                for i in range(s, e):
+                    q = queries[i]
+                    if q is None:
+                        continue
+                    aut = aut_cache.get(q)
+                    if aut is None:
+                        if kind == "fuzzy":
+                            aut = fuzzy_automaton(
+                                q, params.get("d", 2),
+                                params.get("same_prefix_len", 0),
+                                params.get("damerau", False))
+                        elif kind == "prefix":
+                            aut = PrefixAutomaton(q)
+                        elif kind == "match":
+                            aut = StrAutomaton(q)
+                        else:  # pragma: no cover
+                            raise ValueError(
+                                f"unsupported batch query kind {kind}")
+                        aut_cache[q] = aut
+                    for k, v in fst.search(aut):
+                        out_q.append(q)
+                        out_k.append(k)
+                        out_v.append(v)
+        cols = {"query": pa.array(out_q, pa.large_string()),
+                "key": pa.array(out_k, pa.large_string())}
+        if has_output:
+            cols["value"] = pa.array(
+                np.asarray(out_v, dtype=np.uint64), pa.uint64())
+        return pa.table(cols)
+
+    return q_tag.union(i_tag).sort("part").map_batches(
+        probe, batch_size=None, batch_format="pyarrow")

@@ -125,6 +125,34 @@ def test_batched_fuzzy_matches_per_query(words_index, ref_words):
         assert got == expect
 
 
+def test_sharded_path_matches_broadcast(words_index, ref_words):
+    """search_dictionary_many with broadcast_max_bytes=0 (the sharded
+    queries × partition-ranges join — the big-index path) returns
+    exactly the broadcast/actor-pool results for every query kind."""
+    import pyarrow as pa
+    import ray.data as rd
+    from orchid_fst_ray.stages.dictionary import search_dictionary_many
+
+    cases = [
+        ("fuzzy", ["hair", "chari", "zebra"], {"d": 2}),
+        ("fuzzy", ["hair"], {"d": 2, "damerau": True}),
+        ("fuzzy", ["hairs"], {"d": 2, "same_prefix_len": 3}),
+        ("match", ["hair", "nosuchword_zz"], {}),
+        ("prefix", ["hairb", "zz_nohit"], {}),
+    ]
+    for kind, queries, params in cases:
+        qds = rd.from_arrow(pa.table({
+            "query": pa.array(queries, pa.large_string())}))
+        broad = search_dictionary_many(
+            words_index, qds, kind=kind, has_output=False,
+            concurrency=2, **params).to_pandas()
+        shard = search_dictionary_many(
+            words_index, qds, kind=kind, has_output=False,
+            broadcast_max_bytes=0, **params).to_pandas()
+        key = lambda df: sorted(zip(df["query"], df["key"]))
+        assert key(shard) == key(broad), (kind, params)
+
+
 def test_index_parquet_roundtrip(ray_session, words_index, tmp_path,
                                  golden_lev):
     """The FST index dataset persists to partitioned Parquet and reads
