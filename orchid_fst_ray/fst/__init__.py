@@ -16,6 +16,9 @@ from orchid_fst_ray.fst.levenshtein import (
     DamerauLevenshteinAutomaton, LevenshteinAutomaton,
     damerau_levenshtein_osa, levenshtein,
 )
+from orchid_fst_ray.fst.reference_format import (
+    dump_reference_bytes, iter_reference_items,
+)
 
 
 def fuzzy_automaton(query: str, d: int, same_prefix_len: int = 0,
@@ -37,4 +40,5 @@ __all__ = [
     "UnionAutomaton", "NotAutomaton", "StartsWithAutomaton",
     "LevenshteinAutomaton", "DamerauLevenshteinAutomaton",
     "levenshtein", "damerau_levenshtein_osa",
+    "dump_reference_bytes", "iter_reference_items",
 ]

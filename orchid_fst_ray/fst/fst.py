@@ -285,6 +285,28 @@ class Fst:
         return cls(starts, arc_label, arc_out, arc_dest, final, final_out,
                    int(root), bool(has_output), int(n_keys))
 
+    def to_reference_bytes(self) -> bytes:
+        """Serialize to the reference's on-disk FST file layout (header
+        fst.h:208-217, node records fst.cpp:33-94) so the ``ofst`` CLI
+        can mount the result. Items stream through a byte-alphabet
+        dump-while-build (UTF-8 byte order == codepoint order, so the
+        sorted stream is valid input)."""
+        from orchid_fst_ray.fst.reference_format import dump_reference_bytes
+        return dump_reference_bytes(self.items(), self.has_output)
+
+    @classmethod
+    def from_reference_bytes(cls, blob: bytes) -> "Fst":
+        """Mount a reference-layout FST file and rebuild the engine's
+        codepoint-arc structure from its item stream."""
+        from orchid_fst_ray.fst.builder import FstBuilder
+        from orchid_fst_ray.fst.reference_format import (
+            iter_reference_items, reference_root_meta)
+        _, has_output = reference_root_meta(blob)
+        b = FstBuilder(has_output=has_output)
+        for k, v in iter_reference_items(blob):
+            b.insert(k, v)
+        return b.finish()
+
     def to_dot(self) -> str:
         """Graphviz rendering (debug utility; reference fst.cpp:336-411)."""
         lines = ["digraph fst {", "  rankdir=LR;"]
