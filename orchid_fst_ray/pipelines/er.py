@@ -39,7 +39,7 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            num_partitions: int = 16,
            scorer_concurrency=(2, 8),
            hot_block_rows: int | None = 4096,
-           cluster_driver_threshold: int = 2_000_000) -> dict:
+           cluster_driver_threshold: int = 200_000) -> dict:
     """Run the pipeline; returns dict with ``assignment`` (url,
     cluster_id Dataset), intermediate datasets, lineage and metrics.
 

@@ -1,32 +1,47 @@
-"""Transitive clustering: connected components as iterative min-label
-propagation (groupby-aggregate), SURVEY.md §7 stage 7.
+"""Transitive clustering: connected components over scored pairs,
+SURVEY.md §7 stage 7.
 
 The reference has no clustering operator — the fuzzy query plays the
 similarity-join role one probe at a time (SURVEY.md §2.5); transitive
 closure over scored pairs is the dataset-level analogue this engine
 adds.
 
-Algorithm (hash-partitioned, driver controls iterations):
-  labels₀(node) = min(node, min neighbor)   [∪ self-labels for seeds]
-  repeat: msgs = edges⋈labels (label flows along each edge) ∪ labels
-          labelsᵢ₊₁ = groupby(node).min(label)
-  until Σ label-hash stable (min-propagation is monotone, so an
-  unchanged aggregate ⇒ fixpoint). Converges in ≤ diameter iterations.
+Two paths:
 
-Seeding every node (``nodes_ds``) makes the final labels dataset the
-*complete assignment* — singletons label themselves — so no outer join
-against the docs table is needed downstream.
+- **driver union-find** under ``driver_threshold`` symmetrized edge
+  rows: collect, solve, broadcast the labels (zero shuffles).
+- **BSP min-label propagation** above it — raw Ray tasks, the one spot
+  the Dataset API genuinely can't serve: an iterative join needs BOTH
+  sides co-partitioned by the SAME key split across EVERY round, and
+  Ray Data's sample-based range sort re-derives boundaries per sort.
+  Edges are hash-partitioned by ``hash(src) % n`` ONCE; each round is
 
-Skew notes: Ray Data's built-in ``Min`` aggregate pre-combines per
-block before the shuffle (the salted two-phase pattern of SURVEY.md
-§4.2 is only needed for mega-components whose message fan-in exceeds a
-partition; the per-block combine handles moderate skew). Join inputs
-are passed through ``compact_nonempty`` because hash-shuffled
-aggregates can emit schema-less empty blocks that break pyarrow joins.
+      join wave   A_j: (edge bucket j ∪ routed pointer-jump edges)
+                  ⋈ labels_j (Arrow C++ hash join), then a per-task
+                  COMBINER (min label per dst) so at most one row per
+                  (task, node) crosses the wire — mega-component
+                  fan-in is bounded by n, no salting needed;
+      exchange    combiner output routed by hash(dst) % n
+                  (num_returns=n object refs, never via the driver);
+      reduce wave B_k: min(old labels_k, incoming) per node, COUNT
+                  CHANGES, and emit next round's pointer-jump edges
+                  (label → node, routed by hash(label) % n).
+
+  Pointer jumping keeps rounds O(log diameter); the change count makes
+  convergence detection free (labels are monotone non-increasing, so
+  zero changes ⇒ global fixpoint — no signature pass, no confirm
+  round of shuffles).
+
+Labels and messages hash the same way everywhere, so a node's label
+row, its incoming messages and its pointer-jump target all live in one
+bucket by construction. Per-round cost: 2n short tasks + one bounded
+exchange — at 10^9 edges the wave compute dominates; at test scale the
+round overhead is milliseconds, not multi-stage sort scheduling.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ray.data.aggregate import Min
@@ -39,32 +54,24 @@ _EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
 _LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
 
 
-def _min_label_agg(ds, salt_partitions: int | None = None):
-    """groupby(node).min(label), optionally SALTED two-phase
-    (SURVEY.md §4.2): phase 1 aggregates on (node, salt=hash(label)%S)
-    so a mega-component's fan-in spreads over S reducers; phase 2
-    reduces the ≤S partials per node. Ray's per-block pre-combine
-    already handles moderate skew — salting is for components whose
-    message fan-in exceeds a single reducer's memory."""
-    if not salt_partitions:
-        return (ds.groupby("node")
-                .aggregate(Min("label", alias_name="label"))
-                .map_batches(_cast_labels, batch_format="pyarrow"))
+def _empty(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        from orchid_fst_ray.functions.hashing import hash64
-        import numpy as np
-        salt = hash64(t["label"]) % np.uint64(salt_partitions)
-        return pa.table({"node": t["node"].cast(pa.string()),
-                         "label": t["label"].cast(pa.string()),
-                         "_salt": pa.array(salt, pa.uint64())})
 
-    partial = (ds.map_batches(add_salt, batch_format="pyarrow")
-               .groupby(["node", "_salt"])
-               .aggregate(Min("label", alias_name="label")))
-    return (partial.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(_cast_labels, batch_format="pyarrow"))
+def _bucket_of(col, n: int) -> np.ndarray:
+    from orchid_fst_ray.functions.hashing import hash64
+    return (hash64(col) % np.uint64(n)).astype(np.int64)
+
+
+def _split_by_bucket(t: pa.Table, col: str, n: int) -> list[pa.Table]:
+    if t.num_rows == 0:
+        return [t] * n
+    b = _bucket_of(t[col], n)
+    order = np.argsort(b, kind="stable")
+    sorted_t = t.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(n + 1))
+    return [sorted_t.slice(bounds[k], bounds[k + 1] - bounds[k])
+            for k in range(n)]
 
 
 def connected_components(edges_ds, node_a: str = "url_a",
@@ -72,21 +79,16 @@ def connected_components(edges_ds, node_a: str = "url_a",
                          nodes_ds=None, node_col: str = "url",
                          num_partitions: int = 16,
                          max_iters: int = 25,
-                         driver_threshold: int = 2_000_000,
+                         driver_threshold: int = 200_000,
                          salt_partitions: int | None = None):
     """edges(node_a, node_b) [+ optional nodes(node_col) seeds] →
     (url, cluster_id); cluster_id = lexicographic min node of the
     component. Seeded nodes with no edges come back as singletons.
-    Driver loop with materialized per-iteration labels.
 
-    Small-graph fast path: when the SYMMETRIZED edge list has at most
-    ``driver_threshold`` rows (~2M rows ≈ 1M pairs collects in a few
-    seconds / a few hundred MB) it is solved with driver-side
-    union-find and the labels broadcast back over the seeds via
-    ``ray.put`` — zero shuffles instead of 2 per iteration. The
-    near-dup edge set is orders of magnitude smaller than the doc set,
-    but at 10^12-doc scale it still exceeds any driver, so the
-    distributed min-label loop below remains the path there.
+    ``salt_partitions`` is accepted for API stability but no longer
+    changes the plan: the per-task combiner in the BSP join wave
+    already bounds any node's message fan-in to ``num_partitions``
+    rows, which is what two-phase salting bought.
     """
     import ray.data as rd
 
@@ -114,7 +116,7 @@ def connected_components(edges_ds, node_a: str = "url_a",
     n_edges = edges.count()
     if n_edges == 0:
         if seeds is None:
-            return rd.from_arrow(_LABEL_SCHEMA.empty_table()).map_batches(
+            return rd.from_arrow(_empty(_LABEL_SCHEMA)).map_batches(
                 _rename_out, batch_format="pyarrow")
         return compact_nonempty(seeds, schema=_LABEL_SCHEMA).map_batches(
             _rename_out, batch_format="pyarrow")
@@ -122,58 +124,11 @@ def connected_components(edges_ds, node_a: str = "url_a",
     if n_edges <= driver_threshold:
         return _driver_components(edges, seeds)
 
-    # The propagation loop runs over EDGE ENDPOINTS ONLY — seeds that
-    # never appear in an edge are singletons and cannot change label,
-    # so they skip the loop entirely and merge back in one final
-    # aggregate. At web scale most docs are singletons; keeping them
-    # out of the per-iteration shuffles is the difference between the
-    # loop scaling with |edges| vs |docs|.
-    base = (edges
-            .groupby("src")
-            .aggregate(Min("dst", alias_name="label"))
-            .map_batches(lambda t: pa.table({
-                "node": t["src"].cast(pa.string()),
-                "label": pa.compute.min_element_wise(
-                    t["src"].cast(pa.string()),
-                    t["label"].cast(pa.string())),
-            }), batch_format="pyarrow"))
-    labels = compact_nonempty(base, schema=_LABEL_SCHEMA,
-                              max_blocks=num_partitions)
+    labels = _bsp_components(edges, max(2, num_partitions), max_iters)
 
-    prev_sig = None
-    converged = False
-    for _ in range(max_iters):
-        sig = _label_signature(labels)
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
-        # messages: neighbor labels flow along edges — a SORT-MERGE
-        # join (tag, sort on src, in-block Arrow hash join) + a
-        # sorted-run min: two task-based sorts per iteration instead of
-        # a hash-join reducer pool + hash aggregate. The pointer-jump
-        # edges (label→node, distance doubling) ride the SAME round:
-        # one union, one sort, one merge — O(log diameter) rounds at
-        # half the stage count of a separate jump pass.
-        label_edges = labels.map_batches(_label_to_edges,
-                                         batch_format="pyarrow")
-        round_edges = edges.union(label_edges)
-        if salt_partitions:
-            msgs = _messages_sort_merge(round_edges, labels)
-            labels = compact_nonempty(
-                _min_label_agg(msgs.union(labels), salt_partitions),
-                schema=_LABEL_SCHEMA, max_blocks=num_partitions)
-        else:
-            labels = compact_nonempty(
-                _propagate_once(round_edges, labels),
-                schema=_LABEL_SCHEMA, max_blocks=num_partitions)
-    if not converged:
-        import warnings
-        warnings.warn(
-            f"connected_components: label propagation did not reach its "
-            f"fixpoint within max_iters={max_iters}; labels may split "
-            f"components. Raise max_iters (graph diameter > "
-            f"2^{max_iters}).", RuntimeWarning)
+    # Seeds that never appear in an edge are singletons and cannot
+    # change label, so they skip the loop entirely and merge back in
+    # one final aggregate: the loop scales with |edges|, not |docs|.
     if seeds is not None:
         merged = (labels.union(seeds).groupby("node")
                   .aggregate(Min("label", alias_name="label"))
@@ -182,75 +137,119 @@ def connected_components(edges_ds, node_a: str = "url_a",
     return labels.map_batches(_rename_out, batch_format="pyarrow")
 
 
-def _label_to_edges(t: pa.Table) -> pa.Table:
-    """(node, label) → pointer-jump edges (src=label, dst=node)."""
-    return pa.table({"src": t["label"].cast(pa.string()),
-                     "dst": t["node"].cast(pa.string())})
+# ------------------------------------------------------- BSP propagation
+
+def _route_edges_task(t: pa.Table, n: int) -> list[pa.Table]:
+    return _split_by_bucket(t, "src", n)
 
 
-def _messages_sort_merge(edges, labels):
-    """edges(src,dst) ⋈ labels(node,label) on src → (node=dst, label):
-    tagged union + ONE sort on the key + per-run fan-out (each run has
-    exactly one label row)."""
-    import numpy as np
-
-    e_tag = edges.map_batches(lambda t: pa.table({
-        "key": t["src"].cast(pa.string()),
-        "dst": t["dst"].cast(pa.string()),
-        "label": pa.nulls(t.num_rows, pa.string()),
-    }), batch_format="pyarrow")
-    l_tag = labels.map_batches(lambda t: pa.table({
-        "key": t["node"].cast(pa.string()),
-        "dst": pa.nulls(t.num_rows, pa.string()),
-        "label": t["label"].cast(pa.string()),
-    }), batch_format="pyarrow")
-
-    def merge(t: pa.Table) -> pa.Table:
-        # The co-locating sort puts every row of a key in ONE block, so
-        # an in-block Arrow C++ hash join reproduces the per-run scan
-        # with zero Python per-row work. Labels are node-unique (they
-        # come from a min aggregate), so the join fans each edge out to
-        # exactly one message.
-        import pyarrow.compute as pc
-        labels_t = t.filter(pc.is_valid(t["label"])).select(
-            ["key", "label"])
-        edges_t = t.filter(pc.is_valid(t["dst"])).select(["key", "dst"])
-        if labels_t.num_rows == 0 or edges_t.num_rows == 0:
-            return _LABEL_SCHEMA.empty_table()
-        joined = edges_t.join(labels_t, keys="key", join_type="inner")
-        return pa.table({
-            "node": joined["dst"].combine_chunks().cast(pa.string()),
-            "label": joined["label"].combine_chunks().cast(pa.string())})
-
-    return e_tag.union(l_tag).sort("key").map_batches(
-        merge, batch_size=None, batch_format="pyarrow")
+def _concat_task(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
+    live = [p for p in parts if p.num_rows]
+    return pa.concat_tables(live) if live else _empty(schema)
 
 
-def _min_sorted_runs(ds):
-    """groupby(node).min(label) via sort + per-run min (labels are
-    strings; runs are small)."""
-
-    def reduce(t: pa.Table) -> pa.Table:
-        # Equal nodes are co-located by the sort, so a per-block Arrow
-        # hash aggregate (C++) replaces the per-run Python min scan.
-        if t.num_rows == 0:
-            return _LABEL_SCHEMA.empty_table()
-        agg = pa.TableGroupBy(t.select(["node", "label"]),
-                              "node").aggregate([("label", "min")])
-        return pa.table({
-            "node": agg["node"].combine_chunks().cast(pa.string()),
-            "label": agg["label_min"].combine_chunks().cast(pa.string())})
-
-    return ds.sort("node").map_batches(
-        reduce, batch_size=None, batch_format="pyarrow")
+def _init_labels_task(edge_bucket: pa.Table) -> pa.Table:
+    """labels₀(src) = min(src, min dst over src's edges)."""
+    if edge_bucket.num_rows == 0:
+        return _empty(_LABEL_SCHEMA)
+    agg = pa.TableGroupBy(edge_bucket, "src").aggregate([("dst", "min")])
+    import pyarrow.compute as pc
+    lab = pc.min_element_wise(agg["src"].combine_chunks().cast(pa.string()),
+                              agg["dst_min"].combine_chunks().cast(
+                                  pa.string()))
+    return pa.table({"node": agg["src"].combine_chunks().cast(pa.string()),
+                     "label": lab})
 
 
-def _propagate_once(edges, labels):
-    """One min-label iteration: sort-merge message join + sorted-run
-    min combine."""
-    msgs = _messages_sort_merge(edges, labels)
-    return _min_sorted_runs(msgs.union(labels))
+def _join_wave_task(edge_bucket: pa.Table, labels_j: pa.Table, n: int,
+                    *jump_parts: pa.Table) -> list[pa.Table]:
+    """Messages for one bucket: (edges ∪ pointer-jump edges) ⋈ labels,
+    combined to min label per destination, routed by hash(dst)."""
+    edges = _concat_task(_EDGE_SCHEMA, edge_bucket, *jump_parts)
+    if edges.num_rows == 0 or labels_j.num_rows == 0:
+        return [_empty(_LABEL_SCHEMA)] * n
+    lab = labels_j.rename_columns(["src", "label"])
+    j = edges.join(lab, keys="src", join_type="inner")
+    msgs = pa.table({
+        "node": j["dst"].combine_chunks().cast(pa.string()),
+        "label": j["label"].combine_chunks().cast(pa.string())})
+    # combiner: ≤ one row per (task, node) crosses the exchange
+    agg = pa.TableGroupBy(msgs, "node").aggregate([("label", "min")])
+    combined = pa.table({
+        "node": agg["node"].combine_chunks().cast(pa.string()),
+        "label": agg["label_min"].combine_chunks().cast(pa.string())})
+    return _split_by_bucket(combined, "node", n)
 
+
+def _reduce_wave_task(old_labels: pa.Table, n: int, *msg_parts: pa.Table):
+    """New labels for one bucket + change count + routed pointer-jump
+    edges for the next round. Returns (labels, changed, route_0..n-1)."""
+    import pyarrow.compute as pc
+    allm = _concat_task(_LABEL_SCHEMA, old_labels, *msg_parts)
+    if allm.num_rows == 0:
+        return [_empty(_LABEL_SCHEMA), 0] + [_empty(_EDGE_SCHEMA)] * n
+    agg = pa.TableGroupBy(allm, "node").aggregate([("label", "min")])
+    new = pa.table({
+        "node": agg["node"].combine_chunks().cast(pa.string()),
+        "label": agg["label_min"].combine_chunks().cast(pa.string())})
+    # message dsts are edge endpoints, whose label rows live in this
+    # same bucket — node sets match, so sorted arrays align 1:1
+    new = new.take(pc.sort_indices(new["node"]))
+    old = old_labels.take(pc.sort_indices(old_labels["node"]))
+    assert new.num_rows == old.num_rows
+    changed = int(pc.sum(pc.not_equal(new["label"],
+                                      old["label"])).as_py() or 0)
+    jump = new.filter(pc.not_equal(new["label"], new["node"]))
+    jump_edges = pa.table({
+        "src": jump["label"].combine_chunks().cast(pa.string()),
+        "dst": jump["node"].combine_chunks().cast(pa.string())})
+    return [new, changed] + _split_by_bucket(jump_edges, "src", n)
+
+
+def _bsp_components(edges_ds, n: int, max_iters: int):
+    import ray
+    import ray.data as rd
+
+    route = ray.remote(_route_edges_task)
+    concat = ray.remote(_concat_task)
+    init = ray.remote(_init_labels_task)
+    join_wave = ray.remote(_join_wave_task)
+    reduce_wave = ray.remote(_reduce_wave_task)
+
+    block_refs = [ref for bundle in
+                  edges_ds.materialize().iter_internal_ref_bundles()
+                  for ref, meta in bundle.blocks if meta.num_rows]
+    routed = [route.options(num_returns=n).remote(ref, n)
+              for ref in block_refs]
+    buckets = [concat.remote(_EDGE_SCHEMA, *[r[k] for r in routed])
+               for k in range(n)]
+    labels = [init.remote(b) for b in buckets]
+    jump: list[list] = [[] for _ in range(n)]
+
+    converged = False
+    for _ in range(max_iters):
+        a_out = [join_wave.options(num_returns=n).remote(
+            buckets[j], labels[j], n, *jump[j]) for j in range(n)]
+        b_out = [reduce_wave.options(num_returns=2 + n).remote(
+            labels[k], n, *[a_out[j][k] for j in range(n)])
+            for k in range(n)]
+        labels = [b_out[k][0] for k in range(n)]
+        jump = [[b_out[k][2 + m] for k in range(n)] for m in range(n)]
+        changed = sum(ray.get([b_out[k][1] for k in range(n)]))
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"connected_components: label propagation did not reach its "
+            f"fixpoint within max_iters={max_iters}; labels may split "
+            f"components. Raise max_iters (graph diameter > "
+            f"2^{max_iters}).", RuntimeWarning)
+    return rd.from_arrow_refs(labels)
+
+
+# --------------------------------------------------------- small helpers
 
 def _driver_components(edges, seeds):
     """Small-graph path: union-find on the driver, labels broadcast to
@@ -294,25 +293,6 @@ def _cast_labels(t: pa.Table) -> pa.Table:
 def _rename_out(t: pa.Table) -> pa.Table:
     return pa.table({"url": t["node"].cast(pa.string()),
                      "cluster_id": t["label"].cast(pa.string())})
-
-
-def _label_signature(labels_ds) -> int:
-    """Cheap convergence check: xor-sum of (node,label) hashes via a
-    per-batch partial reduce (no driver materialization of labels)."""
-    from orchid_fst_ray.functions.hashing import hash64, hash64_pairs
-    import numpy as np
-
-    def sig_batch(t: pa.Table) -> pa.Table:
-        h = hash64_pairs(hash64(t["node"]), hash64(t["label"]))
-        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
-        return pa.table({"sig": pa.array([int(x)], pa.uint64())})
-
-    parts = labels_ds.map_batches(sig_batch, batch_format="pyarrow")
-    acc = 0
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for v in b["sig"].to_pylist():
-            acc ^= v
-    return acc
 
 
 def union_find_components(pairs: list[tuple]) -> dict:
