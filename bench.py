@@ -74,6 +74,27 @@ def run_er_bench(sf_dir: str) -> tuple[float, int, dict]:
     return wall, n, quality
 
 
+def run_scale_bench(n_pages: int = 100_000) -> dict:
+    """Machine-checkable scale point: ER over the zipf-host fixture at
+    100k pages with the DISTRIBUTED BSP connected-components path
+    forced (cluster_driver_threshold=0) — the configuration that runs
+    when the near-dup graph exceeds any driver. Fixture generation is
+    excluded from the timing."""
+    from orchid_fst_ray.pipelines.er import run_er
+    from orchid_fst_ray.pipelines.fixtures import pages_dataset
+    pages = pages_dataset(n_pages, seed=42,
+                          parallelism=NUM_CPUS).materialize()
+    t0 = time.time()
+    res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
+                 scorer_concurrency=(2, max(2, NUM_CPUS // 4)),
+                 cluster_driver_threshold=0)
+    n = res["assignment"].count()
+    wall = time.time() - t0
+    return {"n_pages": n_pages, "cc_path": "distributed_bsp",
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1)}
+
+
 def run_query_benches(sf_dir: str) -> dict[str, float]:
     """Per-family wall times over the bench-scale tables."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -103,6 +124,7 @@ def main() -> None:
     er_wall, n, quality = run_er_bench(SF_DIR)
     queries = {"er_end_to_end": round(er_wall, 3)}
     queries.update(run_query_benches(SF_DIR))
+    scale = run_scale_bench()
     docs_per_sec = round(n / er_wall, 2)
     print(json.dumps({
         "metric": "er_docs_per_sec",
@@ -111,6 +133,7 @@ def main() -> None:
         "queries": queries,
         "n_pages": n,
         "quality": quality,
+        "scale_100k": scale,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))
