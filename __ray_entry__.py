@@ -325,6 +325,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_fingerprints(sf_dir: str):
         return textstats.doc_fingerprints(_docs(sf_dir)).sort("doc_id")
 
+    def pii_scan(sf_dir: str):
+        """Contamination / PII pre-filter counts (RE2 on both sides)."""
+        return textstats.pii_scan(_docs(sf_dir)).sort("doc_id")
+
+    def term_frequencies(sf_dir: str):
+        """Corpus-wide top-50 token frequencies via per-block partial
+        counts (the combiner pattern) + one small global aggregate."""
+        return textstats.term_frequencies(_docs(sf_dir), top_n=50)
+
+    def events_topk(sf_dir: str):
+        """Groupwise top-k: each user's top-3 events by value."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import top_k_per_user
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "value"])
+        return top_k_per_user(ev, k=3).sort(["user_id", "rank"])
+
     def curated_docs(sf_dir: str):
         """Composite training-corpus curation: quality gate → exact
         dedup → MinHash near-dedup; returns surviving doc ids."""
@@ -381,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": quality_stats,
         "lang_id": lang_id,
         "doc_fingerprints": doc_fingerprints,
+        "pii_scan": pii_scan,
+        "term_frequencies": term_frequencies,
+        "events_topk": events_topk,
         "curated_docs": curated_docs,
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
@@ -411,6 +431,28 @@ _STOPS_SQL = ("['the','a','an','and','or','of','to','in','is','it',"
               "'that','for','on','with','as','at','by']")
 _STOPS_DE_SQL = ("['der','die','das','und','ist','ein','eine','nicht',"
                  "'mit','von','zu','den','dem','sich']")
+
+
+def _pii_sql() -> str:
+    """PII-count oracle sharing the engine's RE2 patterns verbatim
+    (DuckDB standard strings don't process backslash escapes, so the
+    pattern text passes through unchanged)."""
+    from orchid_fst_ray.pipelines.textstats import PII_PATTERNS
+    cols = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}"
+        for name, pat in PII_PATTERNS.items())
+    total = " + ".join(PII_PATTERNS)
+    return f"""
+            WITH c AS (
+              SELECT doc_id,
+                   {cols}
+              FROM documents)
+            SELECT doc_id, n_emails, n_urls, n_ipv4, n_phones,
+                   ({total}) > 0 AS has_pii
+            FROM c ORDER BY doc_id"""
+
+
+_PII_SQL = _pii_sql()
 _STOPS_FR_SQL = ("['le','la','les','et','est','un','une','pas','avec',"
                  "'de','du','des','que','pour']")
 
@@ -617,6 +659,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de >= fr THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM h ORDER BY doc_id""",
+        "pii_scan": _PII_SQL,
+        "term_frequencies": """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS token
+              FROM documents)
+            SELECT token, count(*)::BIGINT AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "events_topk": """
+            WITH r AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id) AS rank
+              FROM events)
+            SELECT user_id, event_id, value, rank FROM r
+            WHERE rank <= 3 ORDER BY user_id, rank""",
         # fingerprints (siphash-based rolling hash) / minhash / simhash /
         # ann_lsh / ann_ivf / er_clusters / multimodal: not (exactly)
         # SQL-expressible → driver rows-only check; pytest oracles in

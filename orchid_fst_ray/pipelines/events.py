@@ -13,7 +13,45 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling_window_stats", "sessionize",
-           "asof_join_prior", "range_join_window"]
+           "asof_join_prior", "range_join_window", "top_k_per_user"]
+
+
+def top_k_per_user(events_ds, k: int = 3, user_col: str = "user_id",
+                   val_col: str = "value", id_col: str = "event_id"):
+    """→ (user_id, event_id, value, rank): each user's top-``k`` events
+    by ``value`` desc (ties → lower event_id), rank 1-based.
+
+    Groupwise top-k without ``map_groups``: ONE sort on the group key
+    alone (sorting on a composite (user, value) key could split a
+    user's run across range-partition bounds), then each block ranks
+    ALL its users in one vectorized lexsort pass."""
+    import numpy as np
+
+    def topk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                user_col: pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                val_col: pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64())})
+        u = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t[val_col].combine_chunks().to_numpy(zero_copy_only=False)
+        e = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, -v, u))   # primary u, then value desc, id
+        u_s = u[order]
+        starts = np.concatenate(([0], np.flatnonzero(
+            u_s[1:] != u_s[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n) - np.repeat(starts, counts)
+        keep = rank < k
+        out = t.take(pa.array(order[keep]))
+        return out.append_column(
+            "rank", pa.array(rank[keep] + 1, pa.int64()))
+
+    return (events_ds.select_columns([user_col, id_col, val_col])
+            .sort(user_col)
+            .map_batches(topk, batch_size=None, batch_format="pyarrow"))
 
 
 def tumbling_window_stats(events_ds, ts_col: str = "ts",

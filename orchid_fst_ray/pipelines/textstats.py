@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from orchid_fst_ray.functions.text import stable_fingerprint
 
 __all__ = ["token_stats", "quality_stats", "lang_id", "doc_fingerprints",
-           "STOPWORDS_EN"]
+           "pii_scan", "term_frequencies", "STOPWORDS_EN"]
 
 _WORD_PAT = "[A-Za-z0-9]+"
 
@@ -190,6 +190,75 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# Shared with the SQL oracle — pyarrow and DuckDB both run RE2, so the
+# per-document match COUNTS agree exactly (leftmost-first,
+# non-overlapping).
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "n_phones": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def pii_scan(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, n_emails, n_urls, n_ipv4, n_phones, has_pii) — the
+    contamination / PII pre-filter a curation run applies before
+    training-data export. Pure Arrow regex kernels; a positive count on
+    any pattern sets ``has_pii``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t[text_col], pa.large_string()), "")
+        cols = {id_col: t[id_col]}
+        total = None
+        for name, pat in PII_PATTERNS.items():
+            c = pc.cast(pc.count_substring_regex(txt, pattern=pat),
+                        pa.int64())
+            cols[name] = c
+            total = c if total is None else pc.add(total, c)
+        cols["has_pii"] = pc.greater(total, 0)
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def term_frequencies(ds, text_col: str = "text", top_n: int = 50):
+    """→ (token, n) — the ``top_n`` most frequent lowercase tokens
+    corpus-wide, ties broken by token asc.
+
+    The 100 TB shape: per-block PARTIAL counts (Arrow hash aggregate
+    inside ``map_batches``) shrink each block to its distinct tokens
+    before the one global shuffle — the combiner pattern that keeps a
+    token-frequency job from moving one row per token occurrence."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _explode_tokens(t[text_col])
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.large_string()),
+                             "n": pa.array([], pa.int64())})
+        agg = pa.TableGroupBy(pa.table({"token": flat}),
+                              "token").aggregate([("token", "count")])
+        return pa.table({
+            "token": agg["token"].combine_chunks().cast(pa.large_string()),
+            "n": agg["token_count"].combine_chunks().cast(pa.int64())})
+
+    totals = (ds.select_columns([text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    def cast_out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": t["token"].cast(pa.large_string()),
+            "n": t["n"].cast(pa.int64())})
+
+    # top-N on the (already tiny) distinct-token table
+    return (totals.map_batches(cast_out, batch_format="pyarrow")
+            .sort(["n", "token"], descending=[True, False])
+            .limit(top_n))
 
 
 def doc_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",

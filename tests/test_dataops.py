@@ -357,3 +357,56 @@ def test_checkpoint_invalidation_on_fingerprint_change(ray_session, tmp_path):
     ds3, resumed3 = store.run_stage("s", "fp-B",
                                     lambda: rd.from_arrow(t2))
     assert not resumed3 and ds3.count() == 1
+
+
+def test_pii_scan_counts(ray_session):
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.textstats import pii_scan
+    texts = [
+        "contact me at a.b+c@example.org or visit https://x.io/page",
+        "server 10.0.0.1 and 192.168.1.255 respond; call +1 (555) 123-4567",
+        "clean text with no contamination at all",
+        "",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.large_string())}))
+    df = pii_scan(ds).to_pandas().set_index("doc_id")
+    assert df.loc[0, "n_emails"] == 1 and df.loc[0, "n_urls"] == 1
+    assert df.loc[1, "n_ipv4"] == 2 and df.loc[1, "n_phones"] >= 1
+    assert bool(df.loc[0, "has_pii"]) and not bool(df.loc[2, "has_pii"])
+    assert not bool(df.loc[3, "has_pii"])
+
+
+def test_term_frequencies_top_n(ray_session):
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.textstats import term_frequencies
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["aa bb aa", "bb aa cc", "aa dd"],
+                         pa.large_string())})).repartition(3)
+    got = term_frequencies(ds, top_n=3).to_pandas()
+    assert list(got["token"]) == ["aa", "bb", "cc"]  # cc ties dd, token asc
+    assert list(got["n"]) == [4, 2, 1]
+
+
+def test_top_k_per_user_matches_brute_force(ray_session):
+    import random
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.events import top_k_per_user
+    rnd = random.Random(11)
+    rows = [(rnd.randrange(20), i, round(rnd.random(), 6))
+            for i in range(500)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })).repartition(8)
+    got = top_k_per_user(ds, k=3).to_pandas()
+    by_user = {}
+    for u, e, v in rows:
+        by_user.setdefault(u, []).append((-v, e))
+    expect = set()
+    for u, evs in by_user.items():
+        for rank, (_, e) in enumerate(sorted(evs)[:3], 1):
+            expect.add((u, e, rank))
+    assert set(zip(got["user_id"], got["event_id"], got["rank"])) == expect
