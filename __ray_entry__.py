@@ -366,6 +366,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             audio_frame_pipeline, synth_audio_table)
         return audio_frame_pipeline(synth_audio_table(sf_dir))
 
+    def multimodal_video_frames(sf_dir: str):
+        """Frame-sample + featurize over an opaque video binary column
+        (RAWV container decoded for real; MP4 stubbed)."""
+        from orchid_fst_ray.stages.multimodal import (
+            synth_video_table, video_frame_pipeline)
+        return video_frame_pipeline(synth_video_table(sf_dir))
+
     return {
         "dict_items": dict_items,
         "dict_match": dict_match,
@@ -405,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_frames": multimodal_audio_frames,
+        "multimodal_video_frames": multimodal_video_frames,
     }
 
 

@@ -22,10 +22,13 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
-    "synth_image_table", "synth_audio_table",
+    "synth_image_table", "synth_audio_table", "synth_video_table",
     "ImageDecodeResize", "ImageMeanPoolFeatures", "AudioFrameSample",
+    "VideoFrameSample",
     "image_feature_pipeline", "audio_frame_pipeline",
+    "video_frame_pipeline",
     "decode_ppm", "encode_ppm", "decode_wav_pcm16", "encode_wav_pcm16",
+    "decode_rawv", "encode_rawv",
 ]
 
 
@@ -135,6 +138,63 @@ def synth_audio_table(sf_dir: str, seconds: float = 0.25,
         to_audio, batch_format="pyarrow")
 
 
+def encode_rawv(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 → minimal raw-RGB video container:
+    b"RAWV" + u32 n/h/w/fps + concatenated frames."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    return (b"RAWV" + struct.pack("<4I", n, h, w, fps)
+            + frames.tobytes())
+
+
+def decode_rawv(data: bytes) -> tuple[np.ndarray, int]:
+    """RAWV container → ((n, h, w, 3) uint8, fps). Real decoder.
+    MP4/AVI/... would need ffmpeg — STUBBED like JPEG/MP3."""
+    if not data.startswith(b"RAWV"):
+        raise NotImplementedError(
+            "only the RAWV raw-RGB container is decodable in-container; "
+            "MP4/AVI decode requires an external library (ffmpeg)")
+    n, h, w, fps = struct.unpack_from("<4I", data, 4)
+    frames = np.frombuffer(data, dtype=np.uint8, offset=20,
+                           count=n * h * w * 3).reshape(n, h, w, 3)
+    return frames, fps
+
+
+def synth_video_table(sf_dir: str, n_frames: int = 8, size: int = 16,
+                      fps: int = 10):
+    """One deterministic RAWV clip per document id (drifting gradient —
+    frame f shifts with f so motion is real):
+    (item_id, video: binary, format, n_frames, height, width, fps)."""
+    import ray.data as rd
+
+    def to_videos(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = []
+        base = np.linspace(0, 255, size, dtype=np.float64)
+        for i in ids:
+            rng = np.random.RandomState(0xF1D0 ^ int(i))
+            noise = rng.randint(0, 32, (size, size, 3))
+            frames = np.empty((n_frames, size, size, 3), np.uint8)
+            for f in range(n_frames):
+                img = (np.roll(base, f)[None, :, None] * 0.6
+                       + base[:, None, None] * 0.3 + noise)
+                frames[f] = np.clip(img, 0, 255).astype(np.uint8)
+            blobs.append(encode_rawv(frames, fps))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "video": pa.array(blobs, pa.binary()),
+            "format": pa.array(["rawv"] * len(ids), pa.string()),
+            "n_frames": pa.array([n_frames] * len(ids), pa.int32()),
+            "height": pa.array([size] * len(ids), pa.int32()),
+            "width": pa.array([size] * len(ids), pa.int32()),
+            "fps": pa.array([fps] * len(ids), pa.int32()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        to_videos, batch_format="pyarrow")
+
+
 # ------------------------------------------------------ actor-pool stages
 
 class ImageDecodeResize:
@@ -224,6 +284,41 @@ class AudioFrameSample:
         })
 
 
+class VideoFrameSample:
+    """Actor stage: decode → sample every ``stride``-th frame →
+    per-sampled-frame grid mean-pool feature vector (the frame-sampling
+    + featurize pattern for video; a real model would load weights in
+    ``__init__``). One output row per sampled frame."""
+
+    def __init__(self, stride: int = 2, grid: int = 2) -> None:
+        self.stride = stride
+        self.grid = grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        g = self.grid
+        ids, fidx, feats = [], [], []
+        for i, raw in zip(t["item_id"].to_pylist(),
+                          t["video"].to_pylist()):
+            frames, _fps = decode_rawv(raw)
+            sel = frames[::self.stride].astype(np.float32)
+            n, h, w, _ = sel.shape
+            ph, pw = h // g, w // g
+            pooled = (sel[:, :ph * g, :pw * g]
+                      .reshape(n, g, ph, g, pw, 3).mean(axis=(2, 4)))
+            for k in range(n):
+                ids.append(i)
+                fidx.append(k * self.stride)
+                feats.append(pooled[k].reshape(-1) / 255.0)
+        dim = 3 * g * g
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame": pa.array(fidx, pa.int32()),
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(feats) if feats else
+                         np.zeros(0, np.float32), pa.float32()), dim),
+        })
+
+
 # ------------------------------------------------------------- pipelines
 
 def image_feature_pipeline(images_ds, out_size: int = 16, grid: int = 4,
@@ -245,5 +340,17 @@ def audio_frame_pipeline(audio_ds, frame_ms: int = 25,
     """decode → per-frame RMS rows. Output: (item_id, frame, rms)."""
     return audio_ds.map_batches(
         AudioFrameSample, fn_constructor_kwargs={"frame_ms": frame_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1).sort(["item_id", "frame"])
+
+
+def video_frame_pipeline(video_ds, stride: int = 2, grid: int = 2,
+                         concurrency=(1, 4), batch_size: int = 32):
+    """decode → frame-sample → per-frame features; SMALLER batches than
+    image/audio (each row carries n_frames × h × w × 3 bytes).
+    Output: (item_id, frame, feature)."""
+    return video_ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"stride": stride, "grid": grid},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1).sort(["item_id", "frame"])

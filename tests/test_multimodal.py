@@ -64,3 +64,34 @@ def test_audio_frame_pipeline(ray_session):
     assert len(frames) == 16 * 4
     assert set(frames["frame"]) == {0, 1, 2, 3}
     assert (frames["rms"] > 0).all()
+
+
+def test_rawv_roundtrip():
+    import numpy as np
+    frames = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    blob = mm.encode_rawv(frames, fps=5)
+    got, fps = mm.decode_rawv(blob)
+    assert fps == 5 and (got == frames).all()
+
+
+def test_video_codec_stubbed():
+    import pytest
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.decode_rawv(b"\x00\x00\x00\x18ftypmp42 fake mp4 header")
+
+
+def test_video_frame_pipeline(ray_session):
+    import numpy as np
+    videos = mm.synth_video_table(SF, n_frames=8, size=16).limit(12)
+    out = mm.video_frame_pipeline(videos, stride=2, grid=2).to_pandas()
+    # 8 frames at stride 2 → 4 sampled frames per clip
+    assert len(out) == 12 * 4
+    assert set(out["frame"]) == {0, 2, 4, 6}
+    v = np.stack(out["feature"].to_numpy())
+    assert v.shape[1] == 3 * 2 * 2
+    assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
+    # motion is real: consecutive sampled frames differ
+    first = out[out["item_id"] == out["item_id"].iloc[0]]
+    f0 = np.asarray(first[first["frame"] == 0]["feature"].iloc[0])
+    f2 = np.asarray(first[first["frame"] == 2]["feature"].iloc[0])
+    assert not np.allclose(f0, f2)
