@@ -41,7 +41,7 @@ __all__ = [
     "minhash_signatures", "minhash_dup_pairs",
     "simhash_signatures", "simhash_dup_pairs", "ngram_jaccard_pairs",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh",
-    "shingle_hashes",
+    "shingle_hashes", "shingle_hashes_flat",
 ]
 
 
@@ -105,12 +105,62 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ------------------------------------------------------------------- minhash
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """64-bit hashes of the k-token shingles of ``text`` (lowercased)."""
+    """64-bit hashes of the k-token shingles of ``text`` (lowercased).
+    Per-document reference kernel (string-join based); the batch
+    pipelines use :func:`shingle_hashes_flat` instead."""
     toks = WORD_RE.findall((text or "").lower())
     sh = token_shingles(toks, k)
     if not sh:
         return np.zeros(0, dtype=np.uint64)
     return np.unique(hash64(sh))
+
+
+def shingle_hashes_flat(txt_col, k: int = 3):
+    """Corpus-wide vectorized shingling: ``(sh, row, n_rows)`` where
+    ``sh`` are 64-bit shingle hashes deduped per document and ``row``
+    their (ascending) document indices.
+
+    One Arrow regex split explodes every token; each token is hashed
+    once; a k-token shingle's hash is the hash64_pairs CHAIN of its k
+    consecutive token hashes (windows masked to stay inside one row) —
+    no shingle string is ever materialized. Documents with 1..k-1
+    tokens produce one whole-document shingle, mirroring
+    ``token_shingles``'s short-doc rule."""
+    from orchid_fst_ray.pipelines.textstats import _explode_tokens
+    flat, row, n = _explode_tokens(txt_col)
+    m = len(flat)
+    if m == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), n
+    th = hash64(flat)
+    cnt = np.bincount(row, minlength=n)
+    parts_h: list[np.ndarray] = []
+    parts_r: list[np.ndarray] = []
+    if m >= k:
+        valid = row[: m - k + 1] == row[k - 1:]
+        acc = th[: m - k + 1].copy()
+        for j in range(1, k):
+            acc = hash64_pairs(acc, th[j: m - k + 1 + j])
+        parts_h.append(acc[valid])
+        parts_r.append(row[: m - k + 1][valid])
+    short = np.flatnonzero((cnt > 0) & (cnt < k))
+    if len(short):
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))[short]
+        acc = th[starts].copy()
+        for j in range(1, k - 1):
+            has = cnt[short] > j
+            acc[has] = hash64_pairs(acc[has], th[starts[has] + j])
+        parts_h.append(acc)
+        parts_r.append(short.astype(np.int64))
+    sh = np.concatenate(parts_h) if parts_h else np.zeros(0, np.uint64)
+    srow = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int64)
+    # dedup per document: sort by (row, hash), keep run firsts
+    order = np.lexsort((sh, srow))
+    sh, srow = sh[order], srow[order]
+    if len(sh):
+        keep = np.concatenate(([True], (srow[1:] != srow[:-1])
+                               | (sh[1:] != sh[:-1])))
+        sh, srow = sh[keep], srow[keep]
+    return sh, srow, n
 
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -119,19 +169,16 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def sig_batch(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        # one flat hash pass over ALL docs' shingles, then segmented
-        # mins (np.minimum.reduceat) — no per-doc Python hashing
-        all_h: list[np.ndarray] = [shingle_hashes(x, k) for x in texts]
-        lens = np.array([len(h) for h in all_h], dtype=np.int64)
-        sigs = np.full((len(ids), n_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+        # corpus-wide vectorized shingling (no per-doc Python), then
+        # segmented mins (np.minimum.reduceat) over the row runs
+        sh, srow, n = shingle_hashes_flat(t[text_col], k)
+        lens = np.bincount(srow, minlength=n)
+        sigs = np.full((n, n_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
                        dtype=np.uint64)
         nonzero = np.flatnonzero(lens)
         if len(nonzero):
-            flat = np.concatenate([all_h[i] for i in nonzero])
-            perms = minhash_permute(flat, n_perm)      # (sum_lens, n_perm)
-            starts = np.concatenate(
-                ([0], np.cumsum(lens[nonzero])[:-1]))
+            perms = minhash_permute(sh, n_perm)      # (sum_lens, n_perm)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonzero]
             sigs[nonzero] = np.minimum.reduceat(perms, starts, axis=0)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
@@ -352,17 +399,15 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     ``jaccard = inter / (|A| + |B| - inter)`` is exact integer math.
     """
     def explode(t: pa.Table) -> pa.Table:
-        # postings carry (shingle, doc_id, |set|): O(|set|) per doc
-        ids, sh_l, ns = [], [], []
-        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            h = shingle_hashes(txt, k)
-            ids.extend([i] * len(h))
-            sh_l.extend(h.tolist())
-            ns.extend([len(h)] * len(h))
+        # postings carry (shingle, doc_id, |set|): O(|set|) per doc,
+        # produced by the corpus-wide vectorized shingler
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        sh, srow, n = shingle_hashes_flat(t[text_col], k)
+        lens = np.bincount(srow, minlength=n)
         return pa.table({
-            "shingle": pa.array(sh_l, pa.uint64()),
-            id_col: pa.array(ids, pa.int64()),
-            "n": pa.array(ns, pa.int64()),
+            "shingle": pa.array(sh, pa.uint64()),
+            id_col: pa.array(ids[srow], pa.int64()),
+            "n": pa.array(lens[srow], pa.int64()),
         })
 
     postings = ds.select_columns([id_col, text_col]).map_batches(
