@@ -105,3 +105,39 @@ def test_ray_sort_colocates_equal_keys(ray_session):
             "Ray sort split an equal-key run across blocks — the "
             "engine's sorted-run merge idiom is no longer safe on this "
             "Ray version")
+
+
+def test_randomized_graphs_match_union_find(ray_session):
+    """Seeded random graphs (mixed components, self-loops, duplicate
+    edges, num_partitions larger than some buckets' content) through
+    the BSP path must equal driver union-find exactly."""
+    import random
+    from orchid_fst_ray.stages.clustering import (
+        connected_components, union_find_components)
+    for seed in (3, 17):
+        rnd = random.Random(seed)
+        nodes = [f"n{i:04d}" for i in range(rnd.randrange(50, 200))]
+        pairs = [(rnd.choice(nodes), rnd.choice(nodes))
+                 for _ in range(rnd.randrange(30, 300))]
+        pairs += [(n, n) for n in rnd.sample(nodes, 5)]   # self-loops
+        pairs += pairs[:10]                               # duplicates
+        oracle = union_find_components(pairs)
+        cc = connected_components(
+            _edges_ds(pairs), num_partitions=8, driver_threshold=0)
+        assert _labels_dict(cc) == oracle, f"seed {seed}"
+
+
+def test_bsp_with_seeds_includes_singletons(ray_session):
+    """nodes_ds seeding through the BSP path: edge-free nodes come back
+    as singletons, edge nodes get component labels."""
+    import ray.data as rd
+    import pyarrow as pa
+    from orchid_fst_ray.stages.clustering import connected_components
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    seeds = rd.from_arrow(pa.table({
+        "url": pa.array(["a", "b", "c", "x", "y", "lonely1", "lonely2"])}))
+    cc = connected_components(_edges_ds(pairs), nodes_ds=seeds,
+                              num_partitions=4, driver_threshold=0)
+    got = _labels_dict(cc)
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+                   "lonely1": "lonely1", "lonely2": "lonely2"}

@@ -410,3 +410,36 @@ def test_top_k_per_user_matches_brute_force(ray_session):
         for rank, (_, e) in enumerate(sorted(evs)[:3], 1):
             expect.add((u, e, rank))
     assert set(zip(got["user_id"], got["event_id"], got["rank"])) == expect
+
+
+def test_shingle_hashes_flat_matches_per_doc(ray_session, docs_table):
+    """Corpus-wide vectorized shingler ≡ the per-document reference
+    kernel in per-doc shingle COUNTS and in cross-doc intersection
+    sizes (what ngram-jaccard consumes)."""
+    import numpy as np
+    from orchid_fst_ray.pipelines.dedup import (
+        shingle_hashes, shingle_hashes_flat)
+    texts = docs_table["text"].to_pylist()[:200]
+    texts += ["", "one", "two tok", "a b c", None]
+    import pyarrow as pa
+    col = pa.chunked_array([pa.array(texts, pa.large_string())])
+    sh, srow, n = shingle_hashes_flat(col, 3)
+    lens = np.bincount(srow, minlength=n)
+    per_doc_sets = []
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    for i, txt in enumerate(texts):
+        old = shingle_hashes(txt or "", 3)
+        assert lens[i] == len(old), (i, txt)
+        per_doc_sets.append(set(sh[starts[i]:starts[i + 1]].tolist()))
+    # intersection sizes under the hash-chain scheme equal string-set
+    # intersections (collision-free w.h.p.) for a sample of pairs
+    import random
+    rnd = random.Random(5)
+    from orchid_fst_ray.functions.text import WORD_RE, token_shingles
+    for _ in range(50):
+        i, j = rnd.randrange(len(texts)), rnd.randrange(len(texts))
+        si = set(token_shingles(
+            WORD_RE.findall((texts[i] or "").lower()), 3))
+        sj = set(token_shingles(
+            WORD_RE.findall((texts[j] or "").lower()), 3))
+        assert len(per_doc_sets[i] & per_doc_sets[j]) == len(si & sj)
