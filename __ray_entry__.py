@@ -334,6 +334,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         counts (the combiner pattern) + one small global aggregate."""
         return textstats.term_frequencies(_docs(sf_dir), top_n=50)
 
+    def customers_per_region(sf_dir: str):
+        """Fact ⋈ dim ⋈ dim rollup with BROADCAST joins (no shuffle of
+        the big side) — customer x nation x region."""
+        from orchid_fst_ray.pipelines.relational import (
+            customers_per_region as cpr)
+        return cpr(sf_dir)
+
     def events_topk(sf_dir: str):
         """Groupwise top-k: each user's top-3 events by value."""
         import ray.data as rd
@@ -408,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": pii_scan,
         "term_frequencies": term_frequencies,
         "events_topk": events_topk,
+        "customers_per_region": customers_per_region,
         "curated_docs": curated_docs,
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
@@ -675,6 +683,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT token, count(*)::BIGINT AS n FROM toks
             GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "customers_per_region": """
+            SELECT r_name,
+                   count(*)::BIGINT AS n_customers,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name""",
         "events_topk": """
             WITH r AS (
               SELECT user_id, event_id, value,

@@ -443,3 +443,19 @@ def test_shingle_hashes_flat_matches_per_doc(ray_session, docs_table):
         sj = set(token_shingles(
             WORD_RE.findall((texts[j] or "").lower()), 3))
         assert len(per_doc_sets[i] & per_doc_sets[j]) == len(si & sj)
+
+
+def test_broadcast_join_matches_arrow_join(ray_session):
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.relational import broadcast_join
+    big = pa.table({"k": pa.array([1, 2, 3, 2, 9], pa.int64()),
+                    "v": pa.array(list("abcde"), pa.string())})
+    small = pa.table({"k": pa.array([1, 2, 4], pa.int64()),
+                      "name": pa.array(["one", "two", "four"],
+                                       pa.string())})
+    got = broadcast_join(rd.from_arrow(big).repartition(3), small,
+                         keys="k").to_pandas()
+    expect = big.join(small, keys="k", join_type="inner").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "v", "name"]].values))
+    assert key(got) == key(expect)
+    assert len(got) == 3   # k=9 and k=4 unmatched drop
