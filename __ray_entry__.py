@@ -247,28 +247,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def orders_per_priority(sf_dir: str):
         """Join breadth check: lineitems per order priority.
         Pre-aggregates lineitem counts per orderkey BEFORE the join
-        (combiner-before-shuffle: the join left side shrinks from every
-        lineitem row to one row per distinct order)."""
+        (combiner-before-shuffle), then joins via ONE co-locating sort
+        on the orderkey + an in-block Arrow hash join with per-block
+        partial sums — Ray's actor-reducer hash join costs seconds of
+        pool spin-up this avoids."""
+        import pyarrow.compute as pc
         import ray.data as rd
-        from ray.data.aggregate import Count, Sum
-        from orchid_fst_ray.functions.blocks import compact_nonempty
+        from ray.data.aggregate import Sum
         li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                              columns=["l_orderkey"])
-        per_order = (li.groupby("l_orderkey")
-                     .aggregate(Count(alias_name="n")))
         orders = rd.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_orderpriority"])
-        j = compact_nonempty(per_order).join(
-            compact_nonempty(orders), join_type="inner",
-            num_partitions=16, on=("l_orderkey",),
-            right_on=("o_orderkey",))
-        return (j.groupby("o_orderpriority")
-                .aggregate(Sum("n", alias_name="n_lineitems"))
+
+        def tag_l(t: pa.Table) -> pa.Table:
+            # PARTIAL counts per block (Arrow hash agg, no shuffle);
+            # duplicate keys across blocks are fine — the in-block join
+            # matches each partial to its priority and the final Sum
+            # adds them up. Saves a whole all-to-all aggregate.
+            agg = pa.TableGroupBy(
+                t.select(["l_orderkey"]),
+                "l_orderkey").aggregate([("l_orderkey", "count")])
+            return pa.table({
+                "key": agg["l_orderkey"].combine_chunks().cast(
+                    pa.int64()),
+                "n": agg["l_orderkey_count"].combine_chunks().cast(
+                    pa.int64()),
+                "prio": pa.nulls(agg.num_rows, pa.string())})
+
+        def tag_r(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t["o_orderkey"].cast(pa.int64()),
+                "n": pa.nulls(t.num_rows, pa.int64()),
+                "prio": t["o_orderpriority"].cast(pa.string())})
+
+        def merge(t: pa.Table) -> pa.Table:
+            left = t.filter(pc.is_valid(t["n"])).select(["key", "n"])
+            right = t.filter(pc.is_valid(t["prio"])).select(
+                ["key", "prio"])
+            if left.num_rows == 0 or right.num_rows == 0:
+                return pa.table({
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_lineitems": pa.array([], pa.int64())})
+            joined = left.join(right, keys="key", join_type="inner")
+            agg = pa.TableGroupBy(joined.select(["prio", "n"]),
+                                  "prio").aggregate([("n", "sum")])
+            return pa.table({
+                "o_orderpriority": agg["prio"].combine_chunks().cast(
+                    pa.string()),
+                "n_lineitems": agg["n_sum"].combine_chunks().cast(
+                    pa.int64())})
+
+        partials = (li.map_batches(tag_l, batch_format="pyarrow")
+                    .union(orders.map_batches(tag_r,
+                                              batch_format="pyarrow"))
+                    .sort("key")
+                    .map_batches(merge, batch_size=None,
+                                 batch_format="pyarrow"))
+        return (partials.groupby("o_orderpriority")
+                .aggregate(Sum("n_lineitems", alias_name="n_lineitems"))
                 .map_batches(lambda t: pa.table({
-                    "o_orderpriority": t["o_orderpriority"],
-                    "n_lineitems": t["n_lineitems"].cast(pa.int64())}),
-                    batch_format="pyarrow")
+                    "o_orderpriority": t["o_orderpriority"].cast(
+                        pa.string()),
+                    "n_lineitems": t["n_lineitems"].cast(pa.int64()),
+                }), batch_format="pyarrow")
                 .sort("o_orderpriority"))
 
     def sort_lines(sf_dir: str):
