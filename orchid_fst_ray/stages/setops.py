@@ -41,34 +41,43 @@ def _combine(left, right, key_col: str, value_col: str | None, mode: str):
             .union(_tagged(right, key_col, value_col, 1)))
 
     def block(t: pa.Table) -> pa.Table:
-        keys = t["key"].to_pylist()
+        # vectorized: run boundaries per key, one scatter per side to
+        # find each run's left/right row, then a single take — no
+        # Python touches a row
+        n = t.num_rows
+        if n == 0:
+            cols = {"key": pa.array([], pa.large_string())}
+            if value_col:
+                cols["value"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        from orchid_fst_ray.functions.runs import run_bounds
+        bounds = run_bounds(t["key"])
+        n_runs = len(bounds) - 1
+        run_id = np.repeat(np.arange(n_runs), np.diff(bounds))
         sides = np.asarray(t["_side"].to_pylist(), dtype=np.int8)
-        vals = t["value"].to_pylist()
-        out_k, out_v = [], []
-        n = len(keys)
-        s = 0
-        while s < n:
-            e = s
-            while e < n and keys[e] == keys[s]:
-                e += 1
-            seg = sides[s:e]
-            has_l = bool((seg == 0).any())
-            has_r = bool((seg == 1).any())
-            keep = ((mode == "union" and (has_l or has_r))
-                    or (mode == "intersect" and has_l and has_r)
-                    or (mode == "difference" and has_l and not has_r))
-            if keep:
-                out_k.append(keys[s])
-                # value: right side wins on union (reference's
-                # duplicate-insert last-wins, fst.cpp:180-189);
-                # intersect/difference keep the left value
-                pick_side = 1 if (mode == "union" and has_r) else 0
-                idx = s + int(np.nonzero(seg == pick_side)[0][-1])
-                out_v.append(vals[idx])
-            s = e
-        cols = {"key": pa.array(out_k, pa.large_string())}
+        idx = np.arange(n, dtype=np.int64)
+        pos_l = np.full(n_runs, -1, dtype=np.int64)
+        pos_r = np.full(n_runs, -1, dtype=np.int64)
+        lm, rm = sides == 0, sides == 1
+        pos_l[run_id[lm]] = idx[lm]   # last write wins == reference's
+        pos_r[run_id[rm]] = idx[rm]   # duplicate-insert last-wins rule
+        has_l, has_r = pos_l >= 0, pos_r >= 0
+        if mode == "union":
+            keep = has_l | has_r
+            # right value wins on conflict (fst.cpp:180-189)
+            chosen = np.where(has_r, pos_r, pos_l)
+        elif mode == "intersect":
+            keep = has_l & has_r
+            chosen = pos_l
+        else:  # difference
+            keep = has_l & ~has_r
+            chosen = pos_l
+        sel = t.take(pa.array(chosen[keep]))
+        cols = {"key": sel["key"].combine_chunks().cast(
+            pa.large_string())}
         if value_col:
-            cols["value"] = pa.array(out_v, pa.int64())
+            cols["value"] = sel["value"].combine_chunks().cast(
+                pa.int64())
         return pa.table(cols)
 
     # sort on the key ALONE: a composite (key, _side) sort key would
