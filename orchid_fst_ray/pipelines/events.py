@@ -91,12 +91,8 @@ def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
 
     def cut(t: pa.Table) -> pa.Table:
         users = np.asarray(t[user_col].to_pylist(), dtype=np.int64)
-        ts = np.asarray(
-            t[ts_col].cast(pa.timestamp("us")).to_pylist(), dtype=object)
         tsv = np.asarray(t[ts_col].cast(pa.int64()).to_pylist(),
                          dtype=np.int64)
-        order = np.lexsort((tsv, users))
-        users, ts, tsv = users[order], ts[order], tsv[order]
         n = len(users)
         if n == 0:
             return pa.table({
@@ -106,27 +102,28 @@ def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
                 "session_start": pa.array([], pa.timestamp("us")),
                 "session_end": pa.array([], pa.timestamp("us")),
             })
+        order = np.lexsort((tsv, users))
+        users, tsv = users[order], tsv[order]
+        ts_sorted = t[ts_col].cast(pa.timestamp("us")).take(
+            pa.array(order))
         new_user = np.concatenate(([True], users[1:] != users[:-1]))
         big_gap = np.concatenate(([True], (tsv[1:] - tsv[:-1]) > gap_us))
         cutpoints = np.flatnonzero(new_user | big_gap)
         ends = np.concatenate((cutpoints[1:], [n]))
-        out_u, out_s, out_n, out_a, out_b = [], [], [], [], []
-        sess_by_user: dict[int, int] = {}
-        for s, e in zip(cutpoints, ends):
-            u = int(users[s])
-            sid = sess_by_user.get(u, 0)
-            sess_by_user[u] = sid + 1
-            out_u.append(u)
-            out_s.append(sid)
-            out_n.append(int(e - s))
-            out_a.append(ts[s])
-            out_b.append(ts[e - 1])
+        # session ordinal within user = position among the user's
+        # cutpoints (cutpoints are user-sorted): arange minus the index
+        # of the user's first cutpoint
+        cu = users[cutpoints]
+        firsts = np.flatnonzero(np.concatenate(
+            ([True], cu[1:] != cu[:-1])))
+        per_user = np.diff(np.append(firsts, len(cu)))
+        sess_id = np.arange(len(cu)) - np.repeat(firsts, per_user)
         return pa.table({
-            "user_id": pa.array(out_u, pa.int64()),
-            "session_id": pa.array(out_s, pa.int64()),
-            "n_events": pa.array(out_n, pa.int64()),
-            "session_start": pa.array(out_a, pa.timestamp("us")),
-            "session_end": pa.array(out_b, pa.timestamp("us")),
+            "user_id": pa.array(cu, pa.int64()),
+            "session_id": pa.array(sess_id, pa.int64()),
+            "n_events": pa.array(ends - cutpoints, pa.int64()),
+            "session_start": ts_sorted.take(pa.array(cutpoints)),
+            "session_end": ts_sorted.take(pa.array(ends - 1)),
         })
 
     return (events_ds.select_columns([user_col, ts_col])
@@ -173,28 +170,32 @@ def asof_join_prior(events_ds, left_type: str, right_type: str,
         # order by (user, ts, kind) — kind ascending puts LEFT before
         # RIGHT on ts ties, so an equal-ts right is never visible to a
         # left (prior = strictly earlier, like DuckDB's ASOF l.ts>r.ts)
+        n = len(users)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "prior_id": pa.array([], pa.int64())})
         order = np.lexsort((kind, tsv, users))
         users, tsv, ids, kind = (users[order], tsv[order],
                                  ids[order], kind[order])
-        out_l, out_r = [], []
-        last_right = -1
-        last_right_ts = None
-        cur_user = None
-        for i in range(len(users)):
-            if users[i] != cur_user:
-                cur_user = users[i]
-                last_right = -1
-                last_right_ts = None
-            if kind[i] == 1:
-                last_right = ids[i]
-                last_right_ts = tsv[i]
-            else:
-                if last_right >= 0 and last_right_ts < tsv[i]:
-                    out_l.append(int(ids[i]))
-                    out_r.append(int(last_right))
+        # vectorized last-prior-right: rights seen strictly before each
+        # row (the kind tie-break already excludes equal-ts rights),
+        # windowed to the row's own user run
+        right_mask = kind == 1
+        rights_before = np.cumsum(right_mask) - right_mask
+        new_user = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, n))
+        run_start = np.repeat(starts, counts)
+        lefts = np.flatnonzero(~right_mask)
+        k = rights_before[lefts]
+        valid = k > rights_before[run_start[lefts]]
+        right_rows = np.flatnonzero(right_mask)
+        lr = right_rows[k[valid] - 1]
+        sel_l = lefts[valid]
+        strict = tsv[lr] < tsv[sel_l]
         return pa.table({
-            "event_id": pa.array(out_l, pa.int64()),
-            "prior_id": pa.array(out_r, pa.int64()),
+            "event_id": pa.array(ids[sel_l[strict]], pa.int64()),
+            "prior_id": pa.array(ids[lr[strict]], pa.int64()),
         })
 
     return both.sort(user_col).map_batches(
@@ -236,31 +237,60 @@ def range_join_window(events_ds, left_type: str, right_type: str,
         tsv = np.asarray(t["_tsv"].to_pylist(), dtype=np.int64)
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         kind = np.asarray(t["_kind"].to_pylist(), dtype=np.int8)
+        n = len(users)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "match_id": pa.array([], pa.int64())})
         order = np.lexsort((kind, tsv, users))
         users, tsv, ids, kind = (users[order], tsv[order],
                                  ids[order], kind[order])
-        out_l, out_r = [], []
-        # per-user ring of rights inside the window
-        from collections import deque
-        ring: deque = deque()
-        cur_user = None
-        for i in range(len(users)):
-            if users[i] != cur_user:
-                cur_user = users[i]
-                ring.clear()
-            if kind[i] == 1:
-                ring.append((tsv[i], ids[i]))
-            else:
-                lo = tsv[i] - win_us
-                while ring and ring[0][0] < lo:
-                    ring.popleft()
-                for rts, rid in ring:
-                    if rts < tsv[i]:
-                        out_l.append(int(ids[i]))
-                        out_r.append(int(rid))
+        # vectorized window join: for each left, its window of rights
+        # is a contiguous slice [lo, hi) of the user's rights-only run.
+        # hi = rights strictly before the left in (user, ts, kind)
+        # order (kind tie-break excludes equal-ts rights: r.ts < l.ts);
+        # lo comes from a second lexsort over rights + per-left window
+        # starts (query ts = l.ts - win, queries first on ties so a
+        # right AT the window start stays included).
+        right_mask = kind == 1
+        rights_before = np.cumsum(right_mask) - right_mask
+        new_user = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, n))
+        run_start = np.repeat(starts, counts)
+        lefts = np.flatnonzero(~right_mask)
+        base = rights_before[run_start[lefts]]   # user's first right
+        hi = rights_before[lefts]                # exclusive upper bound
+        right_rows = np.flatnonzero(right_mask)
+        r_users = users[right_rows]
+        r_ts = tsv[right_rows]
+        q_ts = tsv[lefts] - win_us
+        m_r, m_q = len(right_rows), len(lefts)
+        comb_users = np.concatenate((r_users, users[lefts]))
+        comb_ts = np.concatenate((r_ts, q_ts))
+        comb_tag = np.concatenate((np.ones(m_r, np.int8),
+                                   np.zeros(m_q, np.int8)))
+        ord2 = np.lexsort((comb_tag, comb_ts, comb_users))
+        pos2 = np.empty(m_r + m_q, dtype=np.int64)
+        pos2[ord2] = np.arange(m_r + m_q)
+        tag_sorted = comb_tag[ord2]
+        rb2 = np.cumsum(tag_sorted == 1) - (tag_sorted == 1)
+        lo = rb2[pos2[m_r:]]                     # rights with ts < q_ts
+        # (global rights counts: base/hi/lo all count the same global
+        # rights-only sequence, so per-user offsets cancel)
+        lo = np.maximum(lo, base)
+        cnt = np.maximum(hi - lo, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "match_id": pa.array([], pa.int64())})
+        sel = cnt > 0
+        rep_left = np.repeat(lefts[sel], cnt[sel])
+        offsets = np.concatenate(([0], np.cumsum(cnt[sel])[:-1]))
+        within = np.arange(total) - np.repeat(offsets, cnt[sel])
+        r_idx = np.repeat(lo[sel], cnt[sel]) + within
         return pa.table({
-            "event_id": pa.array(out_l, pa.int64()),
-            "match_id": pa.array(out_r, pa.int64()),
+            "event_id": pa.array(ids[rep_left], pa.int64()),
+            "match_id": pa.array(ids[right_rows[r_idx]], pa.int64()),
         })
 
     return both.sort(user_col).map_batches(
