@@ -115,6 +115,27 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(hash64(sh))
 
 
+def _explode_word_re(txt_col):
+    """Arrow-vectorized WORD_RE tokenization: alnum runs plus every
+    single non-space-non-alnum codepoint (CJK chars, punctuation) as
+    its own token — exactly ``WORD_RE.findall(text.lower())``. Returns
+    ``(flat tokens, row ids, n_rows)``."""
+    import pyarrow.compute as pc
+    low = pc.utf8_lower(pc.fill_null(pc.cast(txt_col, pa.large_string()),
+                                     ""))
+    spaced = pc.replace_substring_regex(
+        low, pattern=r"([^\sa-z0-9])", replacement=r" \1 ")
+    words = pc.split_pattern_regex(spaced, pattern=r"\s+")
+    arr = words.combine_chunks() if isinstance(
+        words, pa.ChunkedArray) else words
+    n = len(arr)
+    flat = arr.flatten()
+    counts = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), row[keep], n
+
+
 def shingle_hashes_flat(txt_col, k: int = 3):
     """Corpus-wide vectorized shingling: ``(sh, row, n_rows)`` where
     ``sh`` are 64-bit shingle hashes deduped per document and ``row``
@@ -126,8 +147,7 @@ def shingle_hashes_flat(txt_col, k: int = 3):
     no shingle string is ever materialized. Documents with 1..k-1
     tokens produce one whole-document shingle, mirroring
     ``token_shingles``'s short-doc rule."""
-    from orchid_fst_ray.pipelines.textstats import _explode_tokens
-    flat, row, n = _explode_tokens(txt_col)
+    flat, row, n = _explode_word_re(txt_col)
     m = len(flat)
     if m == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64), n
@@ -268,6 +288,8 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # ------------------------------------------------------------------- simhash
 
 def _simhash_batch(texts: list, n_bits: int = 64) -> np.ndarray:
+    """Per-document reference kernel (kept for the differential test);
+    the pipeline uses the corpus-wide vectorized path below."""
     out = np.zeros(len(texts), dtype=np.uint64)
     bit_cols = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
     for i, t in enumerate(texts):
@@ -281,14 +303,33 @@ def _simhash_batch(texts: list, n_bits: int = 64) -> np.ndarray:
     return out
 
 
+def _simhash_flat(txt_col, n_bits: int = 64) -> np.ndarray:
+    """Vectorized simhash over a whole batch: one token explode, one
+    hash pass, per-row ±1 bit votes via segmented reduceat."""
+    flat, row, n = _explode_word_re(txt_col)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat) == 0:
+        return out
+    th = hash64(flat)
+    bit_cols = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+    bits = ((th[:, None] & bit_cols[None, :]) != 0)
+    cnt = np.bincount(row, minlength=n)
+    nz = cnt > 0
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))[nz]
+    ones = np.add.reduceat(bits, starts, axis=0)
+    votes = 2 * ones - cnt[nz][:, None]
+    out[nz] = ((votes > 0) * bit_cols[None, :]).sum(axis=1,
+                                                    dtype=np.uint64)
+    return out
+
+
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """documents → (doc_id, simhash: uint64)."""
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table({
             id_col: t[id_col],
-            "simhash": pa.array(_simhash_batch(t[text_col].to_pylist()),
-                                pa.uint64()),
+            "simhash": pa.array(_simhash_flat(t[text_col]), pa.uint64()),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(

@@ -420,7 +420,8 @@ def test_shingle_hashes_flat_matches_per_doc(ray_session, docs_table):
     from orchid_fst_ray.pipelines.dedup import (
         shingle_hashes, shingle_hashes_flat)
     texts = docs_table["text"].to_pylist()[:200]
-    texts += ["", "one", "two tok", "a b c", None]
+    texts += ["", "one", "two tok", "a b c", None,
+              "中文 字符 测试", "Hi! A-B; c.d", "中国人民共和国 一 二 三"]
     import pyarrow as pa
     col = pa.chunked_array([pa.array(texts, pa.large_string())])
     sh, srow, n = shingle_hashes_flat(col, 3)
@@ -459,3 +460,14 @@ def test_broadcast_join_matches_arrow_join(ray_session):
     key = lambda df: sorted(map(tuple, df[["k", "v", "name"]].values))
     assert key(got) == key(expect)
     assert len(got) == 3   # k=9 and k=4 unmatched drop
+
+
+def test_simhash_flat_matches_per_doc(ray_session, docs_table):
+    """Vectorized simhash ≡ the per-document kernel bit-for-bit,
+    including CJK and punctuation tokens (WORD_RE semantics)."""
+    import numpy as np
+    from orchid_fst_ray.pipelines.dedup import _simhash_batch, _simhash_flat
+    texts = docs_table["text"].to_pylist()[:100] + [
+        "", None, "中文 字符 测试", "Hi! A-B; c.d", "x " * 50]
+    col = pa.chunked_array([pa.array(texts, pa.large_string())])
+    assert (_simhash_batch(texts) == _simhash_flat(col)).all()
