@@ -16,17 +16,21 @@ Edit distance is measured in whole characters, never bytes
 (automaton.cpp:242-243) — automatic here since we operate on Python
 ``str`` code points.
 
-Implementation: lazily memoized DFA. State identity is the clamped
-vector tuple (plus previous row + previous class for Damerau), so the
-state space is finite; transitions are cached per (state, char_class)
-— equivalent to the reference's up-front ``buildDfa``
-(automaton.cpp:261-326) but paying only for reachable states.
-"""
+Implementation: lazily memoized DFA over BANDED edit rows. Because
+``row[j] >= |i - j|``, after ``i`` input characters every cell outside
+the diagonal band ``[i-d, i+d]`` is clamped at ``d+1`` — so a state is
+``(i, 2d+1 band values)`` instead of a full ``len(query)+1`` row,
+making each transition O(d) rather than O(|query|) (the reference pays
+the full row in its up-front ``buildDfa``; the semantics are
+identical, validated against the full-row reference kernels and the
+reference's golden suites)."""
 
 from __future__ import annotations
 
 __all__ = ["LevenshteinAutomaton", "DamerauLevenshteinAutomaton",
            "levenshtein", "damerau_levenshtein_osa"]
+
+_MISSING = object()
 
 
 class LevenshteinAutomaton:
@@ -38,7 +42,6 @@ class LevenshteinAutomaton:
         self.query = query
         self.d = d
         self.n = len(query)
-        # char class per query position + lookup table
         classes: dict[str, int] = {}
         for ch in query:
             if ch not in classes:
@@ -46,18 +49,26 @@ class LevenshteinAutomaton:
         self._class_of = classes
         self._qclass = tuple(classes[ch] for ch in query)
         self._cap = d + 1
-        start = tuple(min(j, self._cap) for j in range(self.n + 1))
-        self._start = start
+        self._width = 2 * d + 1
+        cap, n = self._cap, self.n
+        band0 = tuple(min(j, cap) if 0 <= j <= n else cap
+                      for j in range(-d, d + 1))
+        self._start_state = (0, band0)
         # transition cache: (state, char_class) -> state or None (dead)
         self._trans: dict[tuple, tuple | None] = {}
 
     # -- automaton protocol -------------------------------------------------
 
     def start(self):
-        return self._start if min(self._start) <= self.d else None
+        s = self._start_state
+        return s if min(s[1]) <= self.d else None
 
     def is_match(self, state) -> bool:
-        return state is not None and state[self.n] <= self.d
+        if state is None:
+            return False
+        i, band = state
+        k = self.n - i + self.d
+        return 0 <= k < self._width and band[k] <= self.d
 
     def can_match(self, state) -> bool:
         return state is not None
@@ -65,7 +76,7 @@ class LevenshteinAutomaton:
     def accept(self, state, ch: str):
         if state is None:
             return None
-        cls = self._class_of.get(ch, self.OTHER)
+        cls = self._class_of.get(ch, -1)
         key = (state, cls)
         cached = self._trans.get(key, _MISSING)
         if cached is not _MISSING:
@@ -74,84 +85,105 @@ class LevenshteinAutomaton:
         self._trans[key] = nxt
         return nxt
 
-    # -- core DP step -------------------------------------------------------
+    # -- core banded DP step ------------------------------------------------
 
-    def _step(self, row: tuple, cls: int) -> tuple | None:
-        cap = self._cap
-        qc = self._qclass
-        new = [min(row[0] + 1, cap)]
-        prev_new = new[0]
-        for j in range(1, self.n + 1):
-            cost = 0 if qc[j - 1] == cls else 1
-            v = row[j - 1] + cost
-            if row[j] + 1 < v:
-                v = row[j] + 1
-            if prev_new + 1 < v:
-                v = prev_new + 1
-            if v > cap:
+    def _step(self, state, cls):
+        i, band = state
+        d, cap, n, qc = self.d, self._cap, self.n, self._qclass
+        width = self._width
+        i2 = i + 1
+        new = []
+        prev_new = cap
+        base = i2 - d              # j of new[0]
+        for k in range(width):
+            j = base + k
+            if j < 0 or j > n:
                 v = cap
+            elif j == 0:
+                v = i2 if i2 < cap else cap
+            else:
+                # row_i[j-1] == band[k]; row_i[j] == band[k+1]
+                cost = 0 if qc[j - 1] == cls else 1
+                v = band[k] + cost
+                up = (band[k + 1] if k + 1 < width else cap) + 1
+                if up < v:
+                    v = up
+                left = prev_new + 1
+                if left < v:
+                    v = left
+                if v > cap:
+                    v = cap
             new.append(v)
             prev_new = v
         t = tuple(new)
         if min(t) > self.d:
             return None  # dead state: no continuation can match
-        return t
-
-
-_MISSING = object()
+        return (i2, t)
 
 
 class DamerauLevenshteinAutomaton(LevenshteinAutomaton):
-    """DFA for Damerau-Levenshtein (adjacent-transposition / OSA) distance.
-
-    State: ``(cur_row, prev_row, prev_class)`` — the reference's
-    ``m_curEdits/m_prevEdits/m_prevStr`` triple (automaton.h:561-579).
-    """
+    """DFA for Damerau-Levenshtein (adjacent-transposition / OSA)
+    distance. State: ``(i, band, prev_band, prev_class)`` — the
+    reference's ``m_curEdits/m_prevEdits/m_prevStr`` triple
+    (automaton.h:561-579), banded."""
 
     def start(self):
-        s = self._start
-        if min(s) > self.d:
+        i, band = self._start_state
+        if min(band) > self.d:
             return None
-        return (s, None, None)
+        return (i, band, None, None)
 
     def is_match(self, state) -> bool:
-        return state is not None and state[0][self.n] <= self.d
+        if state is None:
+            return False
+        i, band = state[0], state[1]
+        k = self.n - i + self.d
+        return 0 <= k < self._width and band[k] <= self.d
 
     def accept(self, state, ch: str):
         if state is None:
             return None
-        cls = self._class_of.get(ch, self.OTHER)
+        cls = self._class_of.get(ch, -1)
         key = (state, cls)
         cached = self._trans.get(key, _MISSING)
         if cached is not _MISSING:
             return cached
-        row, prev_row, prev_cls = state
-        cap = self._cap
-        qc = self._qclass
-        new = [min(row[0] + 1, cap)]
-        prev_new = new[0]
-        for j in range(1, self.n + 1):
-            cost = 0 if qc[j - 1] == cls else 1
-            v = row[j - 1] + cost
-            if row[j] + 1 < v:
-                v = row[j] + 1
-            if prev_new + 1 < v:
-                v = prev_new + 1
-            # transposition: input ...prev,ch matches query ...ch,prev
-            # (OSA term d[i-2][j-2] + 1)
-            if (prev_row is not None and j >= 2 and cls != self.OTHER
-                    and cls == qc[j - 2] and prev_cls == qc[j - 1]):
-                t = prev_row[j - 2] + 1
-                if t < v:
-                    v = t
-            if v > cap:
+        i, band, prev_band, prev_cls = state
+        d, cap, n, qc = self.d, self._cap, self.n, self._qclass
+        width = self._width
+        i2 = i + 1
+        new = []
+        prev_new = cap
+        base = i2 - d
+        for k in range(width):
+            j = base + k
+            if j < 0 or j > n:
                 v = cap
+            elif j == 0:
+                v = i2 if i2 < cap else cap
+            else:
+                cost = 0 if qc[j - 1] == cls else 1
+                v = band[k] + cost
+                up = (band[k + 1] if k + 1 < width else cap) + 1
+                if up < v:
+                    v = up
+                left = prev_new + 1
+                if left < v:
+                    v = left
+                # transposition: input ...prev,ch matches query
+                # ...ch,prev (OSA term d[i-1][j-2] + 1); row_{i-1}[j-2]
+                # sits at index k of the previous band
+                if (prev_band is not None and j >= 2 and cls != -1
+                        and cls == qc[j - 2] and prev_cls == qc[j - 1]):
+                    tr = prev_band[k] + 1
+                    if tr < v:
+                        v = tr
+                if v > cap:
+                    v = cap
             new.append(v)
             prev_new = v
         t = tuple(new)
-        # dead only if no continuation (incl. future transpositions) can match;
-        # a conservative and correct test is min over the current row.
-        nxt = None if min(t) > self.d else (t, row, cls)
+        nxt = None if min(t) > self.d else (i2, t, band, cls)
         self._trans[key] = nxt
         return nxt
 
