@@ -144,12 +144,31 @@ def main() -> None:
     ray.shutdown()
 
 
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "100000"))
+
+
 def _scaling_child(num_cpus: int) -> None:
+    """One scaling measurement: the ER pipeline over the SAME
+    100k-page fixture at the given CPU count. The workload must be
+    large enough that per-stage scheduling overhead (constant in CPU
+    count) doesn't dominate the 32-CPU run — at 22.5k pages the
+    round-2 kernel speedups pushed compute below fixed overhead and
+    the measured ratio stopped reflecting pipeline scalability."""
     _init_ray(num_cpus)
-    wall, n, quality = run_er_bench(SF_DIR)
+    _warmup()
+    from orchid_fst_ray.pipelines.er import run_er
+    from orchid_fst_ray.pipelines.fixtures import pages_dataset
+    pages = pages_dataset(SCALING_PAGES, seed=42,
+                          parallelism=num_cpus).materialize()
+    n = pages.count()
+    t0 = time.time()
+    res = run_er(pages, num_partitions=max(8, num_cpus // 2),
+                 scorer_concurrency=(2, max(2, num_cpus // 4)))
+    rows = res["assignment"].count()
+    wall = time.time() - t0
     print(json.dumps({"num_cpus": num_cpus, "wall_sec": round(wall, 3),
                       "docs_per_sec": round(n / wall, 2),
-                      "n_pages": n, "quality": quality}))
+                      "n_pages": n, "assignment_rows": rows}))
     import ray
     ray.shutdown()
 

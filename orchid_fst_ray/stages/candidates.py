@@ -159,14 +159,12 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         return inst(g)
 
     hot_blocks: list = []
-    hot_rows_total = 0
     if hot_block_rows is not None:
         from ray.data.aggregate import Count
         sizes = slim.groupby(block_col).aggregate(Count(alias_name="n"))
         # only the (few) hot block names come to the driver
         hot_rows = sizes.filter(expr=f"n > {hot_block_rows}").take_all()
         hot_blocks = [r[block_col] for r in hot_rows]
-        hot_rows_total = sum(r["n"] for r in hot_rows)
 
     if not hot_blocks:
         return (slim.groupby(block_col)
@@ -185,17 +183,11 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     normal = (slim.map_batches(split(False), batch_format="pyarrow")
               .groupby(block_col)
               .map_groups(block_candidates, batch_format="pandas"))
-    # join partition count follows the HOT data volume, not the
-    # cluster: a 32-reducer hash join on a few thousand rows is pure
-    # actor-startup overhead (measured 11s of a 22s stage)
-    join_parts = max(2, min(num_partitions,
-                            hot_rows_total // 100_000 + 2))
     hot = generate_hot_candidates(
         slim.map_batches(split(True), batch_format="pyarrow"),
         d=d, damerau=damerau, key_col=key_col, id_col=id_col,
         block_col=block_col, max_pairs_per_key=max_pairs_per_key,
-        num_partitions=join_parts, url_col=url_col,
-        same_prefix_len=same_prefix_len)
+        url_col=url_col, same_prefix_len=same_prefix_len)
     return normal.union(hot)
 
 
@@ -203,7 +195,6 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             key_col: str = "doc_key", id_col: str = "url",
                             block_col: str = "host",
                             max_pairs_per_key: int = 64,
-                            num_partitions: int = 16,
                             probe_concurrency=None,
                             url_col: str | None = None,
                             same_prefix_len: int = 0):
@@ -211,7 +202,10 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
     its distinct keys (one task per block), broadcast the FST dict via
     ``ray.put``, then probe (block, key) rows in a parallel actor pool
     (per-batch deduped; cross-batch repeats collapse in the downstream
-    pair dedup) — key pairs expand to url pairs with two hash joins.
+    pair dedup) — url pairs expand IN the actors from a broadcast
+    key→ids map that rides with the FSTs (ids per key ~1-3, so the map
+    is the same order of size as the blob; this replaces two whole
+    sort-merge joins and their sorts).
     A probe emits only matches ``mk > k`` (FST insertion order is
     sorted, so lexicographic order == index order) — each key pair
     exactly once, mirroring BlockCandidates' symmetric self-join.
@@ -242,23 +236,41 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                          + ([(url_col, pa.string())] if url_col else [])))
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
-        keys = sorted(set(g[key_col].tolist()))
+        import pickle
+        by_key: dict[str, list] = {}
+        for k, u in zip(g[key_col].tolist(), g[id_col].tolist()):
+            by_key.setdefault(k, []).append(u)
+        keys = sorted(by_key)
         b = FstBuilder(has_output=False)
         b.insert_many(keys)
-        return pd.DataFrame({block_col: [g[block_col].iloc[0]],
-                             "fst": [b.finish().to_bytes()]})
+        # the key→ids map rides along with the FST: it is the same
+        # order of size (ids per key ~1-3), so expanding url pairs
+        # IN the probe actors replaces two whole sort-merge joins
+        return pd.DataFrame({
+            block_col: [g[block_col].iloc[0]],
+            "fst": [b.finish().to_bytes()],
+            "ids": [pickle.dumps({k: sorted(v)
+                                  for k, v in by_key.items()})]})
 
-    fst_rows = (docs_small.select_columns([block_col, key_col])
+    fst_rows = (docs_small.select_columns([block_col, key_col, id_col])
                 .groupby(block_col)
                 .map_groups(build, batch_format="pandas"))
-    fsts = {r[block_col]: r["fst"] for r in fst_rows.take_all()}
+    rows = fst_rows.take_all()
+    fsts = {r[block_col]: r["fst"] for r in rows}
+    import pickle
+    idmaps = {r[block_col]: r["ids"] for r in rows}
     ref = ray.put(fsts)
+    ids_ref = ray.put(idmaps)
 
     class Probe:
-        def __init__(self, ref, d, damerau, cap, same_prefix_len=0):
+        def __init__(self, fst_ref, ids_ref, d, damerau, cap,
+                     same_prefix_len=0):
+            import pickle
             from orchid_fst_ray.fst import Fst
             self.fsts = {k: Fst.from_bytes(v)
-                         for k, v in ray.get(ref).items()}
+                         for k, v in ray.get(fst_ref).items()}
+            self.ids = {k: pickle.loads(v)
+                        for k, v in ray.get(ids_ref).items()}
             self.d = d
             self.damerau = damerau
             self.cap = cap
@@ -266,7 +278,16 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             from orchid_fst_ray.fst import fuzzy_automaton
-            blocks, ka, kb = [], [], []
+            blocks, ua, ub, ka, kb = [], [], [], [], []
+
+            def emit(blk, ia, ib, k_i, k_j):
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                ua.append(a)
+                ub.append(b)
+                ka.append(k_i if ia < ib else k_j)
+                kb.append(k_j if ia < ib else k_i)
+                blocks.append(blk)
+
             seen = set()
             for blk, k in zip(t[block_col].to_pylist(),
                               t[key_col].to_pylist()):
@@ -274,119 +295,48 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                     continue
                 seen.add((blk, k))
                 fst = self.fsts[blk]
+                by_key = self.ids[blk]
+                my_ids = by_key[k]
                 aut = fuzzy_automaton(k, self.d, self.same_prefix_len,
                                       self.damerau)
                 budget = self.cap
                 for mk, _ in fst.search(aut):
                     if mk <= k:
-                        continue
-                    blocks.append(blk)
-                    ka.append(k)
-                    kb.append(mk)
+                        continue  # symmetric self-join, each pair once
+                    for ia in my_ids:
+                        for ib in by_key[mk]:
+                            emit(blk, ia, ib, k, mk)
                     budget -= 1
                     if budget <= 0:
                         break
+                # exact-duplicate keys: ids sharing this key (repeat
+                # probes across batches collapse in dedupe_pairs)
+                for i in range(len(my_ids) - 1):
+                    for j in range(i + 1, len(my_ids)):
+                        emit(blk, my_ids[i], my_ids[j], k, k)
             return pa.table({
-                block_col: pa.array(blocks, pa.string()),
+                "url_a": pa.array(ua, pa.string()),
+                "url_b": pa.array(ub, pa.string()),
                 "key_a": pa.array(ka, pa.string()),
-                "key_b": pa.array(kb, pa.string())})
+                "key_b": pa.array(kb, pa.string()),
+                "block_key": pa.array(blocks, pa.string()),
+                "source": pa.array(["fuzzy"] * len(ua), pa.string()),
+            })
 
-    key_pairs = docs_small.select_columns([block_col, key_col]).map_batches(
+    fuzzy_out = docs_small.select_columns([block_col, key_col]).map_batches(
         Probe,
-        fn_constructor_args=(ref, d, damerau, max_pairs_per_key,
+        fn_constructor_args=(ref, ids_ref, d, damerau, max_pairs_per_key,
                              same_prefix_len),
         batch_format="pyarrow", batch_size=128,
         concurrency=probe_concurrency, num_cpus=1)
 
-    # expand key pairs to url pairs: two SORT-MERGE joins against the
-    # docs (task-based range-partition sorts; a hash join's reducer
-    # actor pool costs seconds of spin-up at typical hot-pair volumes)
-    a_side = docs_small.map_batches(
-        lambda t: pa.table({block_col: t[block_col],
-                            "key_a": t[key_col],
-                            "_ua": t[id_col]}), batch_format="pyarrow")
-    b_side = docs_small.map_batches(
-        lambda t: pa.table({block_col: t[block_col],
-                            "key_b": t[key_col],
-                            "_ub": t[id_col]}), batch_format="pyarrow")
-    kp = compact_nonempty(key_pairs, schema=pa.schema(
-        [(block_col, pa.string()), ("key_a", pa.string()),
-         ("key_b", pa.string())]))
-    j1 = _sort_merge_join(kp, a_side, [block_col, "key_a"],
-                          ["key_b"], ["_ua"])
-    fuzzy_pairs = _sort_merge_join(j1, b_side, [block_col, "key_b"],
-                                   ["key_a", "_ua"], ["_ub"])
-
-    def canon_fuzzy(t: pa.Table) -> pa.Table:
-        ua, ub = t["_ua"], t["_ub"]
-        lo = pc.min_element_wise(ua, ub)
-        hi = pc.max_element_wise(ua, ub)
-        swap = pc.greater(ua, ub)
-        return pa.table({
-            "url_a": lo, "url_b": hi,
-            "key_a": pc.if_else(swap, t["key_b"], t["key_a"]),
-            "key_b": pc.if_else(swap, t["key_a"], t["key_b"]),
-            "block_key": t[block_col],
-            "source": pa.array(["fuzzy"] * t.num_rows, pa.string()),
-        })
-
-    fuzzy_out = fuzzy_pairs.map_batches(canon_fuzzy, batch_format="pyarrow")
-
-    # exact-duplicate keys (and, if url_col given, same-norm-url pairs):
-    # one range-partition sort each + vectorized within-block pairing —
-    # mirrors BlockCandidates' same-key / same-url passes without
-    # per-group tasks or a hash-join actor pool
-    out = fuzzy_out.union(_equal_value_pairs(
-        docs_small, block_col, key_col, key_col, id_col, "fuzzy"))
+    # same-norm-url pairs (url ≠ key, so they need their own pass):
+    # one range-partition sort + vectorized within-block pairing
+    out = fuzzy_out
     if url_col is not None:
         out = out.union(_equal_value_pairs(
             docs_small, block_col, url_col, key_col, id_col, "url"))
     return out
-
-
-def _sort_merge_join(left, right, key_cols: list[str],
-                     left_payload: list[str], right_payload: list[str]):
-    """Inner equi-join via one range-partition sort on the FULL join
-    key (equal keys co-locate) + per-run cross product in a vectorized
-    block pass. Output columns: key_cols + left_payload + right_payload.
-    Right for small/medium join volumes where a hash join's reducer
-    actor spin-up dominates; both inputs are narrow string columns."""
-
-    def tag(ds, kind: int, pay: list[str], other: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            cols = {c: t[c].cast(pa.string()) for c in key_cols}
-            cols["_kind"] = pa.array([kind] * t.num_rows, pa.int8())
-            for c in pay:
-                cols[c] = t[c].cast(pa.string())
-            for c in other:
-                cols[c] = pa.nulls(t.num_rows, pa.string())
-            return pa.table(cols)
-        return ds.map_batches(fn, batch_format="pyarrow")
-
-    both = tag(left, 0, left_payload, right_payload).union(
-        tag(right, 1, right_payload, left_payload))
-
-    out_cols = key_cols + left_payload + right_payload
-
-    def merge(t: pa.Table) -> pa.Table:
-        # The sort co-locates every row of a key in one block, so the
-        # per-run cross product IS an in-block Arrow C++ hash join of
-        # the left-tagged rows against the right-tagged rows.
-        import pyarrow.compute as pc
-        left_t = t.filter(pc.equal(t["_kind"], 0)).select(
-            key_cols + left_payload)
-        right_t = t.filter(pc.equal(t["_kind"], 1)).select(
-            key_cols + right_payload)
-        if left_t.num_rows == 0 or right_t.num_rows == 0:
-            return pa.table({c: pa.array([], pa.string())
-                             for c in out_cols})
-        joined = left_t.join(right_t, keys=key_cols, join_type="inner")
-        return pa.table({
-            c: joined[c].combine_chunks().cast(pa.string())
-            for c in out_cols})
-
-    return both.sort(key_cols).map_batches(
-        merge, batch_size=None, batch_format="pyarrow")
 
 
 def _PAIR_SCHEMA_EMPTY() -> pa.Table:
@@ -484,17 +434,27 @@ def generate_url_candidates(docs_ds, id_col: str = "url",
 
 def dedupe_pairs(pairs_ds, num_partitions: int = 16):
     """SHUFFLE #2 (SURVEY.md §7.3): exact dedup of candidate pairs by
-    the canonical ``(url_a, url_b)`` id — a vectorized hash aggregate
-    (the per-group-Python ``map_groups`` pattern is ~100x slower on
-    millions of 1-row groups). Multi-key blocking (host fuzzy +
-    norm_url exact) can emit a pair once per key; ``key_a``/``key_b``/
-    ``block_key`` are functions of the pair so Min is a no-op choice;
-    ``Max(source)`` keeps url-exact priority ('url' > 'fuzzy', pairs
-    from the norm-url block bypass the score threshold)."""
-    from ray.data.aggregate import Max, Min
+    the canonical ``(url_a, url_b)`` id — one sort on the FULL pair key
+    (equal pairs co-locate in one block) + a per-block Arrow C++ hash
+    aggregate, cheaper than a reducer-actor hash aggregate on mostly
+    1-row groups. Multi-key blocking (host fuzzy + norm_url exact) can
+    emit a pair once per key; ``key_a``/``key_b``/``block_key`` are
+    functions of the pair so Min is a no-op choice; ``Max(source)``
+    keeps url-exact priority ('url' > 'fuzzy', pairs from the norm-url
+    block bypass the score threshold)."""
 
-    return (pairs_ds.groupby(["url_a", "url_b"])
-            .aggregate(Min("key_a", alias_name="key_a"),
-                       Min("key_b", alias_name="key_b"),
-                       Min("block_key", alias_name="block_key"),
-                       Max("source", alias_name="source")))
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        agg = pa.TableGroupBy(t, ["url_a", "url_b"]).aggregate(
+            [("key_a", "min"), ("key_b", "min"),
+             ("block_key", "min"), ("source", "max")])
+        return pa.table({
+            "url_a": agg["url_a"], "url_b": agg["url_b"],
+            "key_a": agg["key_a_min"], "key_b": agg["key_b_min"],
+            "block_key": agg["block_key_min"],
+            "source": agg["source_max"],
+        })
+
+    return pairs_ds.sort(["url_a", "url_b"]).map_batches(
+        reduce, batch_size=None, batch_format="pyarrow")

@@ -117,3 +117,26 @@ def test_utf8_character_distance_not_bytes():
     # substitution even though it's 3 UTF-8 bytes.
     got = run(LevenshteinAutomaton("中国", 1))
     assert "中图" in got and "中国" in got
+
+
+def test_banded_states_exhaustive_small_alphabet():
+    """Banded DFA states == brute force over an exhaustive 3-letter
+    dictionary for d in 0..3, both Levenshtein and OSA (covers d=0
+    1-cell bands, empty query/keys, transposition-heavy strings)."""
+    import itertools
+    from orchid_fst_ray.fst import build_fst, fuzzy_automaton
+    from orchid_fst_ray.fst.levenshtein import (
+        damerau_levenshtein_osa, levenshtein)
+    words = sorted({"".join(p) for p in itertools.product("abc", repeat=4)}
+                   | {"", "a", "ab", "abcabc", "ca"})
+    fst = build_fst(words, has_output=False)
+    for d in (0, 1, 2, 3):
+        for q in ["", "a", "abca", "cbab", "abcabcabc", "zzzz"]:
+            got = {k for k, _ in fst.search(fuzzy_automaton(q, d))}
+            exp = {w for w in words if levenshtein(q, w) <= d}
+            assert got == exp, (d, q)
+            gotd = {k for k, _ in fst.search(
+                fuzzy_automaton(q, d, damerau=True))}
+            expd = {w for w in words
+                    if damerau_levenshtein_osa(q, w) <= d}
+            assert gotd == expd, ("dl", d, q)
