@@ -213,7 +213,6 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
     sort + vectorized block pass each (no per-group tasks).
     """
     import ray
-    import pyarrow.compute as pc
     from orchid_fst_ray.functions.blocks import compact_nonempty
 
     if probe_concurrency is None:
