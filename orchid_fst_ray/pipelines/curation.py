@@ -30,43 +30,9 @@ import pyarrow.compute as pc
 
 from orchid_fst_ray.pipelines import dedup as dd
 from orchid_fst_ray.pipelines.textstats import (
-    STOPWORDS_EN, _explode_tokens, _max_token_run, _stop_hits)
+    lang_pred_array, quality_ok_mask)
 
 __all__ = ["curate_corpus"]
-
-
-def _quality_mask(t: pa.Table, text_col: str, min_tokens: int,
-                  max_tokens: int) -> np.ndarray:
-    """The quality_stats ``quality_ok`` predicate, computed locally on
-    a full-row batch (same kernels as textstats.quality_stats)."""
-    txt = pc.cast(t[text_col], pa.large_string())
-    flat, row, n = _explode_tokens(txt)
-    n_tokens = np.bincount(row, minlength=n).astype(np.int64)
-    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
-    n_chars = np.nan_to_num(n_chars.astype(np.float64)).astype(np.int64)
-    n_stop = _stop_hits(flat, row, n, STOPWORDS_EN)
-    max_run = _max_token_run(flat, row, n)
-    return ((n_tokens >= min_tokens) & (n_tokens <= max_tokens)
-            & (n_chars <= 12 * n_tokens) & (n_tokens <= n_chars)
-            & (max_run < 8) & (n_stop >= 0))
-
-
-def _lang_pred(t: pa.Table, text_col: str) -> np.ndarray:
-    from orchid_fst_ray.pipelines.textstats import _STOP_DE, _STOP_FR
-    txt = pc.cast(t[text_col], pa.large_string())
-    cjk = pc.count_substring_regex(
-        txt, pattern=r"[\x{4E00}-\x{9FFF}]").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-    n_char = np.nan_to_num(pc.utf8_length(txt).to_numpy(
-        zero_copy_only=False).astype(np.float64)).astype(np.int64)
-    flat, row, n = _explode_tokens(txt)
-    en = _stop_hits(flat, row, n, STOPWORDS_EN)
-    de = _stop_hits(flat, row, n, _STOP_DE)
-    fr = _stop_hits(flat, row, n, _STOP_FR)
-    pred = np.where((en >= de) & (en >= fr), "en",
-                    np.where(de >= fr, "de", "fr"))
-    zh = (n_char > 0) & (cjk > 0) & (cjk * 4 >= n_char)
-    return np.where(zh, "zh", pred)
 
 
 def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
@@ -87,16 +53,20 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     # quality (+ optional language) gate: the predicate is a pure
     # function of the row's own text, so it filters WHERE THE DATA IS —
     # no id set ever reaches the driver, no join back to the corpus.
-    def gate(t: pa.Table) -> pa.Table:
-        mask = _quality_mask(t, text_col, min_tokens, 100000)
-        if langs is not None:
-            mask &= np.isin(_lang_pred(t, text_col), langs)
-        return t.filter(pa.array(mask))
+    def q_gate(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            quality_ok_mask(t[text_col], min_tokens, 100000)))
 
-    gated = docs_ds.map_batches(gate, batch_format="pyarrow").materialize()
+    gated = docs_ds.map_batches(q_gate,
+                                batch_format="pyarrow").materialize()
     metrics["after_quality"] = gated.count()
     if langs is not None:
-        metrics["after_lang"] = metrics["after_quality"]
+        def l_gate(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(
+                np.isin(lang_pred_array(t[text_col]), langs)))
+        gated = gated.map_batches(l_gate,
+                                  batch_format="pyarrow").materialize()
+        metrics["after_lang"] = gated.count()
 
     # exact dedup: one payload shuffle on the content hash, survivor
     # rows kept in-block (dedup.exact_dedup_rows)
@@ -111,10 +81,14 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = dd.minhash_dup_pairs(deduped, text_col=text_col,
                                  id_col=id_col,
                                  threshold=near_dup_threshold,
-                                 n_perm=n_perm, bands=bands)
+                                 n_perm=n_perm,
+                                 bands=bands).materialize()
+    # ZERO-PAD the stringified ids: connected_components labels by
+    # LEXICOGRAPHIC min, and only padded strings preserve the numeric
+    # min-id survivor rule (min("123","5") is "123")
     pairs_str = pairs.map_batches(lambda t: pa.table({
-        "id_a": pc.cast(t["id_a"], pa.string()),
-        "id_b": pc.cast(t["id_b"], pa.string()),
+        "id_a": pc.utf8_lpad(pc.cast(t["id_a"], pa.string()), 20, "0"),
+        "id_b": pc.utf8_lpad(pc.cast(t["id_b"], pa.string()), 20, "0"),
     }), batch_format="pyarrow")
     comp = connected_components_drop_ids(pairs_str)
     metrics["near_dup_pairs"] = pairs.count()
@@ -141,8 +115,9 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def connected_components_drop_ids(pairs_str) -> np.ndarray:
-    """(id_a, id_b) string pairs → int64 ids of every node that is NOT
-    its component's min (the rows a min-id survivor rule drops).
+    """(id_a, id_b) string pairs (ZERO-PADDED so lexicographic order ==
+    numeric order) → int64 ids of every node that is NOT its
+    component's min (the rows a min-id survivor rule drops).
     Runs the dataset-level connected_components (driver union-find fast
     path under its threshold, distributed min-label loop above it) and
     collects only the O(pairs)-bounded drop list."""

@@ -115,6 +115,13 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(hash64(sh))
 
 
+# Python re's \s is UNICODE whitespace (the White_Space property);
+# RE2's \s is ASCII-only. This class spells out Python's \s for RE2 so
+# the vectorized tokenizer agrees with WORD_RE on NBSP / U+3000 / \x0b
+# etc. (White_Space = controls TAB..CR, \x1c-\x1f, NEL, + category Z).
+_WS_RE2 = r"\t\n\x0b\x0c\r\x1c-\x1f\x85\p{Z}"
+
+
 def _explode_word_re(txt_col):
     """Arrow-vectorized WORD_RE tokenization: alnum runs plus every
     single non-space-non-alnum codepoint (CJK chars, punctuation) as
@@ -124,8 +131,8 @@ def _explode_word_re(txt_col):
     low = pc.utf8_lower(pc.fill_null(pc.cast(txt_col, pa.large_string()),
                                      ""))
     spaced = pc.replace_substring_regex(
-        low, pattern=r"([^\sa-z0-9])", replacement=r" \1 ")
-    words = pc.split_pattern_regex(spaced, pattern=r"\s+")
+        low, pattern=rf"([^{_WS_RE2}a-z0-9])", replacement=r" \1 ")
+    words = pc.split_pattern_regex(spaced, pattern=rf"[{_WS_RE2} ]+")
     arr = words.combine_chunks() if isinstance(
         words, pa.ChunkedArray) else words
     n = len(arr)

@@ -30,11 +30,10 @@ def top_k_per_user(events_ds, k: int = 3, user_col: str = "user_id",
     def topk(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return pa.table({
-                user_col: pa.array([], pa.int64()),
-                id_col: pa.array([], pa.int64()),
-                val_col: pa.array([], pa.float64()),
-                "rank": pa.array([], pa.int64())})
+            # typed empty derived from the INPUT schema — hardcoded
+            # dtypes would clash with non-empty blocks on other types
+            return t.slice(0, 0).append_column(
+                "rank", pa.array([], pa.int64()))
         u = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
         v = t[val_col].combine_chunks().to_numpy(zero_copy_only=False)
         e = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from orchid_fst_ray.functions.text import stable_fingerprint
 
 __all__ = ["token_stats", "quality_stats", "lang_id", "doc_fingerprints",
-           "pii_scan", "term_frequencies", "STOPWORDS_EN"]
+           "pii_scan", "term_frequencies", "quality_ok_mask",
+           "lang_pred_array", "STOPWORDS_EN"]
 
 _WORD_PAT = "[A-Za-z0-9]+"
 
@@ -162,6 +163,45 @@ def quality_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def quality_ok_mask(txt_col, min_tokens: int = 10,
+                    max_tokens: int = 100000,
+                    stop_hits_required: int = 0) -> np.ndarray:
+    """The ``quality_ok`` predicate of :func:`quality_stats` as a bare
+    numpy mask over a text column — the batch-local gate composite
+    pipelines filter with (same kernels; keep in sync with
+    quality_stats' Arrow expression and its SQL oracle)."""
+    txt = pc.cast(txt_col, pa.large_string())
+    flat, row, n = _explode_tokens(txt)
+    n_tokens = np.bincount(row, minlength=n).astype(np.int64)
+    n_chars = np.nan_to_num(pc.utf8_length(txt).to_numpy(
+        zero_copy_only=False).astype(np.float64)).astype(np.int64)
+    n_stop = _stop_hits(flat, row, n, STOPWORDS_EN)
+    max_run = _max_token_run(flat, row, n)
+    return ((n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+            & (n_chars <= 12 * n_tokens) & (n_tokens <= n_chars)
+            & (max_run < 8) & (n_stop >= stop_hits_required))
+
+
+def lang_pred_array(txt_col) -> np.ndarray:
+    """:func:`lang_id`'s prediction as a bare numpy array over a text
+    column (same kernels and tie order; keep in sync with lang_id and
+    its SQL oracle)."""
+    txt = pc.cast(txt_col, pa.large_string())
+    cjk = pc.count_substring_regex(
+        txt, pattern=r"[\x{4E00}-\x{9FFF}]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    n_char = np.nan_to_num(pc.utf8_length(txt).to_numpy(
+        zero_copy_only=False).astype(np.float64)).astype(np.int64)
+    flat, row, n = _explode_tokens(txt)
+    en = _stop_hits(flat, row, n, STOPWORDS_EN)
+    de = _stop_hits(flat, row, n, _STOP_DE)
+    fr = _stop_hits(flat, row, n, _STOP_FR)
+    pred = np.where((en >= de) & (en >= fr), "en",
+                    np.where(de >= fr, "de", "fr"))
+    zh = (n_char > 0) & (cjk > 0) & (cjk * 4 >= n_char)
+    return np.where(zh, "zh", pred)
 
 
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -471,3 +471,43 @@ def test_simhash_flat_matches_per_doc(ray_session, docs_table):
         "", None, "中文 字符 测试", "Hi! A-B; c.d", "x " * 50]
     col = pa.chunked_array([pa.array(texts, pa.large_string())])
     assert (_simhash_batch(texts) == _simhash_flat(col)).all()
+
+
+def test_curation_near_dup_survivor_is_numeric_min(ray_session):
+    """Near-dup survivor must be the NUMERIC min id even when ids have
+    different digit counts (connected_components labels by
+    lexicographic min, so unpadded strings would keep 123 over 5)."""
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.curation import curate_corpus
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 123, 7000], pa.int64()),
+        "text": pa.array([base, base + " extra", 
+                          "a completely different document about "
+                          "boats and rivers and the open blue sea "
+                          "with many long sentences in it"],
+                         pa.large_string())})).repartition(2)
+    res = curate_corpus(ds, near_dup_threshold=0.5)
+    ids = sorted(res["docs"].to_pandas()["doc_id"].tolist())
+    assert 5 in ids and 123 not in ids, ids
+    assert res["metrics"]["near_dup_dropped"] == 1
+
+
+def test_curation_lang_gate_metrics_split(ray_session):
+    """after_quality counts the quality gate ALONE; after_lang counts
+    quality ∧ language."""
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.curation import curate_corpus
+    en = ("the cat and the dog sat on the mat with a hat "
+          "and a bat for a long while today")
+    de = ("der hund und die katze ist ein tier mit dem ball "
+          "von den leuten zu sich nicht wahr heute hier")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([en, de, en + " again now", "short"],
+                         pa.large_string())}))
+    res = curate_corpus(ds, langs=("en",))
+    m = res["metrics"]
+    assert m["after_quality"] == 3      # 'short' fails quality only
+    assert m["after_lang"] == 2         # the German doc drops here
