@@ -26,6 +26,15 @@ The writer is the same streaming dump-while-build used by the engine's
 builder (sorted insert, classic output redistribution, frozen-node
 memoization keyed by (final, finalOutput, trans)) — memory stays
 bounded by the longest key, matching the reference's design.
+
+INTEROP LIMIT — 255 transitions per node: the reference stores the
+many-transition count in a single uint8 and would silently truncate a
+256-arc node (a byte-alphabet node CAN have 256 arcs, e.g. binary keys
+covering every byte value). This writer refuses such nodes with a
+ValueError instead of emitting a file the reference would misread —
+the failure is a limitation of the reference's file format, not of
+this engine (the engine's own ``Fst.to_bytes`` format has no such
+cap).
 """
 
 from __future__ import annotations
@@ -85,9 +94,15 @@ def dump_reference_bytes(items, has_output: bool = True) -> bytes:
             buf.extend(_U64.pack(target))
         elif tc >= 2:
             if tc > 255:
+                # deliberate divergence: the reference would silently
+                # truncate via uint8 (see module docstring INTEROP
+                # LIMIT) — fail loudly instead of writing a bad file
                 raise ValueError(
-                    "reference format stores the trans count in one "
-                    f"byte; node has {tc} transitions")
+                    "reference byte-format interop limit: the trans "
+                    "count is a single uint8, so nodes with more than "
+                    f"255 transitions (this node has {tc}) cannot be "
+                    "represented; use the engine's native Fst.to_bytes "
+                    "format for such dictionaries")
             buf.append(tc)
             for inp, out, target in trans:
                 buf.append(inp)

@@ -44,8 +44,20 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 
     Survivor rule for both dedup stages: keep the minimum id of each
     duplicate/near-dup cluster (deterministic).
+
+    ``id_col`` must be a NON-NEGATIVE integer column: the near-dup
+    stage zero-pads stringified ids so lexicographic order equals
+    numeric order (negative or non-integer ids would silently break
+    the min-id survivor rule, so they are rejected up front).
     """
     import ray
+
+    id_type = docs_ds.schema().base_schema.field(id_col).type
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"curate_corpus requires an integer id column; {id_col!r} "
+            f"is {id_type} — cast ids to int64 (or dense-rank them) "
+            "before curation")
 
     metrics: dict = {}
     metrics["input"] = docs_ds.count()
@@ -86,10 +98,20 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     # ZERO-PAD the stringified ids: connected_components labels by
     # LEXICOGRAPHIC min, and only padded strings preserve the numeric
     # min-id survivor rule (min("123","5") is "123")
-    pairs_str = pairs.map_batches(lambda t: pa.table({
-        "id_a": pc.utf8_lpad(pc.cast(t["id_a"], pa.string()), 20, "0"),
-        "id_b": pc.utf8_lpad(pc.cast(t["id_b"], pa.string()), 20, "0"),
-    }), batch_format="pyarrow")
+    def _lpad_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows and (
+                pc.min(t["id_a"]).as_py() < 0
+                or pc.min(t["id_b"]).as_py() < 0):
+            raise ValueError(
+                "curate_corpus near-dup stage requires non-negative "
+                "ids (zero-padding keeps lexicographic == numeric "
+                "order only for ids >= 0)")
+        return pa.table({
+            "id_a": pc.utf8_lpad(pc.cast(t["id_a"], pa.string()), 20, "0"),
+            "id_b": pc.utf8_lpad(pc.cast(t["id_b"], pa.string()), 20, "0"),
+        })
+
+    pairs_str = pairs.map_batches(_lpad_ids, batch_format="pyarrow")
     comp = connected_components_drop_ids(pairs_str)
     metrics["near_dup_pairs"] = pairs.count()
     metrics["near_dup_dropped"] = len(comp)

@@ -196,7 +196,13 @@ def _reduce_wave_task(old_labels: pa.Table, n: int, *msg_parts: pa.Table):
     # same bucket — node sets match, so sorted arrays align 1:1
     new = new.take(pc.sort_indices(new["node"]))
     old = old_labels.take(pc.sort_indices(old_labels["node"]))
-    assert new.num_rows == old.num_rows
+    if new.num_rows != old.num_rows:
+        # must survive python -O: a misaligned node set would yield a
+        # silently wrong change count (and a wrong fixpoint decision)
+        raise RuntimeError(
+            "BSP reduce wave: message node set diverged from the "
+            f"bucket's label set ({new.num_rows} vs {old.num_rows} "
+            "nodes) — routing invariant violated")
     changed = int(pc.sum(pc.not_equal(new["label"],
                                       old["label"])).as_py() or 0)
     jump = new.filter(pc.not_equal(new["label"], new["node"]))

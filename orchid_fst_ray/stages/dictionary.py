@@ -253,6 +253,15 @@ def search_dictionary_many(index_ds, queries_ds, kind: str = "fuzzy",
     import pyarrow.compute as pc
     import ray
 
+    # validate the kind BEFORE choosing an execution path: otherwise a
+    # bigger-than-broadcast index would turn an unsupported kind into a
+    # runtime error chosen implicitly by index size
+    if kind not in ("fuzzy", "prefix", "match"):
+        raise ValueError(
+            f"search_dictionary_many supports kinds 'fuzzy', 'prefix' "
+            f"and 'match' (got {kind!r}); for 'range'/'all' queries use "
+            "search_dictionary, which needs no per-query probe string")
+
     # both paths scan the index more than once (size probe + ranges +
     # blobs); pin the blocks in the object store so a lazily-built
     # index isn't recomputed per pass (spillable, never driver memory)

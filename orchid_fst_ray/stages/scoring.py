@@ -171,7 +171,14 @@ def score_pairs(pairs_ds, threshold: float = 0.82, jw_weight: float = 0.5,
     makes the score threshold dead code (every fuzzy pair bypasses).
     Keep ``max_char_dist < d`` (default 1 vs the d=2 blocking budget)
     so the blended score actually gates the outermost distance ring;
-    set it to ``d`` deliberately if scoring should be annotation-only."""
+    set it to ``d`` deliberately if scoring should be annotation-only.
+
+    .. versionchanged:: round 2
+       The default ``max_char_dist`` changed from 2 to 1 — with the
+       d=2 blocking default, the old default made ``threshold`` dead
+       code (every automaton-generated pair bypassed it). Callers that
+       relied on the bypass-everything behavior must now pass
+       ``max_char_dist=2`` explicitly."""
     import pyarrow.compute as pc
     scored = pairs_ds.map_batches(
         PairScorer, fn_constructor_kwargs={"jw_weight": jw_weight},
