@@ -217,26 +217,20 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
             .map_batches(sig_batch, batch_format="pyarrow"))
 
 
-def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                      n_perm: int = 64, k: int = 3, bands: int = 16,
-                      threshold: float = 0.7, max_bucket: int = 200):
-    """Near-duplicate pairs via MinHash + LSH banding.
-
-    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
-    signature-estimated Jaccard ≥ ``threshold``. ``bands`` must divide
-    ``n_perm``; rows per band bucket are capped at ``max_bucket`` (the
-    DF-cut for pathological buckets — beyond the cap a bucket's excess
-    rows are dropped, the standard recall/cost trade).
-    """
-    assert n_perm % bands == 0
+def minhash_bucket_stream(sigs_ds, id_col: str = "doc_id",
+                          n_perm: int = 64, bands: int = 16):
+    """(doc_id, sig) → NARROW ``(bucket, doc_id)`` LSH banding stream
+    (16 bytes/row). The full ``n_perm``-lane signature never enters the
+    banding shuffle — at ``bands`` buckets per doc, replicating the
+    signature (the round-2 design) multiplied the stage's shuffle
+    volume ~``bands``×; verification instead joins signatures back
+    AFTER candidate pairs are deduped (:func:`_attach_payload`)."""
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(ds, text_col, id_col, n_perm, k)
 
     def to_buckets(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False), dtype=np.uint64).reshape(len(ids), n_perm)
-        out_id = np.repeat(ids, bands)
         # hash each band's rows into one uint64 bucket key
         bucket = np.empty((len(ids), bands), dtype=np.uint64)
         for b in range(bands):
@@ -245,51 +239,163 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             for c in range(rows_per_band):
                 acc = hash64_pairs(acc, seg[:, c])
             bucket[:, b] = acc
-        sig_rep = np.repeat(sig, bands, axis=0)
         return pa.table({
             "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
-            id_col: pa.array(out_id, pa.int64()),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sig_rep.reshape(-1), pa.uint64()), n_perm),
+            id_col: pa.array(np.repeat(ids, bands), pa.int64()),
         })
 
-    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+    return sigs_ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    # One range-partition shuffle co-locates each bucket (equal sort
-    # keys land in one block — partition index is a pure function of
-    # the key), then every block processes ALL its buckets in one
-    # vectorized call — no per-group Python task overhead.
+
+def _col_nbytes(ds, col: str) -> int:
+    """Total byte size of one column of a (materialized) dataset —
+    only O(blocks) tiny rows reach the driver."""
+    sizes = ds.map_batches(
+        lambda t: pa.table({"b": pa.array([t[col].nbytes], pa.int64())}),
+        batch_format="pyarrow")
+    return sum(r["b"] for r in sizes.take_all())
+
+
+def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      n_perm: int = 64, k: int = 3, bands: int = 16,
+                      threshold: float = 0.7, max_bucket: int = 200,
+                      broadcast_max_bytes: int = 256 * 2 ** 20):
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and
+    signature-estimated Jaccard ≥ ``threshold``. ``bands`` must divide
+    ``n_perm``; rows per band bucket are capped at ``max_bucket`` (the
+    DF-cut for pathological buckets — beyond the cap a bucket's excess
+    rows are dropped, the standard recall/cost trade).
+
+    Shuffle plan: the banding shuffle moves ONLY ``(bucket, id)``
+    (16 B/row) — NEVER the ``n_perm``-lane signature once per band
+    (the round-2 inefficiency flagged in VERDICT.md: ~``bands``×
+    amplification of the stage's shuffle volume). Verification then
+    takes one of two paths, chosen by total signature size exactly
+    like ``search_dictionary_many``:
+
+    - **broadcast** (≤ ``broadcast_max_bytes``): signatures go to the
+      object store ONCE via ``ray.put``; each bucket block verifies
+      in place (same per-bucket compute as round 2, without the wide
+      shuffle) and emits only passing pairs.
+    - **attach** (bigger corpora): bare ``(id_a, id_b)`` candidates
+      are deduped in-block and each side's signature is joined on via
+      a tagged-union key sort (:func:`_attach_payload`) — signatures
+      cross the wire once per pair side instead of once per band.
+    """
+    assert n_perm % bands == 0
+    # signatures are consumed twice (banding stream + verification);
+    # pin the blocks so the text isn't re-shingled per pass
+    sigs = minhash_signatures(ds, text_col, id_col, n_perm, k).materialize()
+    buckets = minhash_bucket_stream(sigs, id_col, n_perm, bands)
+    sorted_buckets = buckets.sort("bucket")
+
+    if _col_nbytes(sigs, "sig") <= broadcast_max_bytes:
+        import ray
+        ids_l, sig_l = [], []
+        for t in sigs.iter_batches(batch_format="pyarrow"):
+            ids_l.append(np.asarray(t[id_col].to_pylist(), np.int64))
+            sig_l.append(np.asarray(
+                t["sig"].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False),
+                np.uint64).reshape(-1, n_perm))
+        all_ids = (np.concatenate(ids_l) if ids_l
+                   else np.zeros(0, np.int64))
+        all_sig = (np.vstack(sig_l) if sig_l
+                   else np.zeros((0, n_perm), np.uint64))
+        order = np.argsort(all_ids)
+        ref = ray.put((all_ids[order], all_sig[order]))
+
+        def block_verified(t: pa.Table) -> pa.Table:
+            lut_ids, lut_sig = ray.get(ref)   # zero-copy store read
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+            ia, ib, est = [], [], []
+            bounds = np.concatenate((
+                [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1,
+                [len(ids)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                gi = np.unique(ids[s:e])
+                if len(gi) > max_bucket:
+                    gi = gi[:max_bucket]
+                if len(gi) < 2:
+                    continue
+                gs = lut_sig[np.searchsorted(lut_ids, gi)]
+                for i in range(len(gi) - 1):
+                    eq = (gs[i + 1:] == gs[i]).mean(axis=1)
+                    for j in np.nonzero(eq >= threshold)[0]:
+                        ia.append(int(gi[i]))
+                        ib.append(int(gi[i + 1 + j]))
+                        est.append(float(eq[j]))
+            return pa.table({"id_a": pa.array(ia, pa.int64()),
+                             "id_b": pa.array(ib, pa.int64()),
+                             "est_jaccard": pa.array(est, pa.float64())})
+
+        pairs = sorted_buckets.map_batches(
+            block_verified, batch_size=None, batch_format="pyarrow")
+        # a pair fires once per shared band with an IDENTICAL estimate
+        return _first_per_pair(pairs)
+
+    # -------- attach path: signatures never materialize driver-side
     def block_pairs(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
-        sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False), dtype=np.uint64).reshape(len(ids), n_perm)
-        ia, ib, est = [], [], []
+        out_a, out_b = [], []
         bounds = np.concatenate((
             [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))
         for s, e in zip(bounds[:-1], bounds[1:]):
-            gi, gs = ids[s:e], sig[s:e]
-            gi, uniq = np.unique(gi, return_index=True)
-            gs = gs[uniq]
+            gi = np.unique(ids[s:e])
             if len(gi) > max_bucket:
-                gi, gs = gi[:max_bucket], gs[:max_bucket]
-            for i in range(len(gi) - 1):
-                eq = (gs[i + 1:] == gs[i]).mean(axis=1)
-                for j in np.nonzero(eq >= threshold)[0]:
-                    ia.append(int(gi[i]))
-                    ib.append(int(gi[i + 1 + j]))
-                    est.append(float(eq[j]))
+                gi = gi[:max_bucket]
+            if len(gi) < 2:
+                continue
+            iu, ju = np.triu_indices(len(gi), k=1)
+            out_a.append(gi[iu])   # gi ascending ⇒ id_a < id_b
+            out_b.append(gi[ju])
+        ia = (np.concatenate(out_a) if out_a else np.zeros(0, np.int64))
+        ib = (np.concatenate(out_b) if out_b else np.zeros(0, np.int64))
         return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "est_jaccard": pa.array(est, pa.float64())})
+                         "id_b": pa.array(ib, pa.int64())})
 
-    pairs = buckets.sort("bucket").map_batches(
+    cand = sorted_buckets.map_batches(
         block_pairs, batch_size=None, batch_format="pyarrow")
 
-    # the same pair fires in multiple bands with an IDENTICAL estimate:
-    # dedup = first row per (id_a,id_b) run after one sort — the
-    # hash-aggregate reducer pool costs seconds of spin-up this avoids
-    return _first_per_pair(pairs)
+    # attach sig_a (pair dedup folds into the same in-block pass: a
+    # pair fires once per shared band, and all its copies co-locate on
+    # the id_a sort), then sig_b; estimate + threshold close it out.
+    sig_type = pa.list_(pa.uint64(), n_perm)
+    with_a = _attach_payload(cand, sigs, pair_key="id_a",
+                             payload_key=id_col, payload_col="sig",
+                             out_col="_sig_a",
+                             carry_cols=[("id_b", pa.int64())],
+                             payload_type=sig_type, dedup=True)
+    with_b = _attach_payload(with_a, sigs, pair_key="id_b",
+                             payload_key=id_col, payload_col="sig",
+                             out_col="_sig_b",
+                             carry_cols=[("id_a", pa.int64()),
+                                         ("_sig_a", sig_type)],
+                             payload_type=sig_type)
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.asarray(t["_sig_a"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.uint64).reshape(n, n_perm)
+        sb = np.asarray(t["_sig_b"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.uint64).reshape(n, n_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        ia = t["id_a"].to_numpy(zero_copy_only=False)[keep]
+        ib = t["id_b"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "est_jaccard": pa.array(est[keep], pa.float64())})
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- simhash
@@ -395,6 +501,94 @@ def simhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = buckets.sort("bucket").map_batches(
         block_pairs, batch_size=None, batch_format="pyarrow")
     return _first_per_pair(pairs)
+
+
+def _attach_payload(pairs_ds, payload_ds, *, pair_key: str,
+                    payload_key: str, payload_col: str, out_col: str,
+                    carry_cols: list, payload_type, dedup: bool = False):
+    """Join ``payload_ds[payload_col]`` (unique per ``payload_key``)
+    onto ``pairs_ds`` rows on ``pair_key`` with ONE tagged-union
+    range-partition sort — the ``orders_per_priority`` pattern: both
+    streams are tagged into an identical narrow schema, sorted on the
+    single join key (equal keys co-locate in one block), and resolved
+    in-block with a searchsorted lookup. Each payload value crosses
+    the shuffle exactly once, regardless of how many pair rows
+    reference it on the OTHER side.
+
+    ``dedup=True`` additionally collapses duplicate
+    ``(pair_key, carry_cols[0])`` pair rows in the same pass (all
+    copies of a pair share ``pair_key``, so they co-locate).
+    Pair rows whose key has no payload row are dropped.
+    Output columns: ``[pair_key] + carry_cols + [out_col]``.
+
+    ``carry_cols`` is a list of ``(name, pyarrow type)`` pairs and
+    ``payload_type`` the payload column's type — passed explicitly
+    because ``Dataset.schema()`` on a lazy shuffle pipeline can force
+    an execution just to learn the dtypes.
+    """
+    carry_types = dict(carry_cols)
+    carry_cols = list(carry_types)
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"_k": t[payload_key].cast(pa.int64()),
+                "_tag": pa.array(np.zeros(n, np.int8))}
+        for c in carry_cols:
+            cols[c] = pa.nulls(n, carry_types[c])
+        cols["_pay"] = t[payload_col]
+        return pa.table(cols)
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"_k": t[pair_key].cast(pa.int64()),
+                "_tag": pa.array(np.ones(n, np.int8))}
+        for c in carry_cols:
+            cols[c] = t[c]
+        cols["_pay"] = pa.nulls(n, payload_type)
+        return pa.table(cols)
+
+    tagged = (payload_ds.map_batches(tag_payload, batch_format="pyarrow")
+              .union(pairs_ds.map_batches(tag_pairs,
+                                          batch_format="pyarrow")))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        empty = {pair_key: pa.array([], pa.int64())}
+        for c in carry_cols:
+            empty[c] = pa.array([], carry_types[c])
+        empty[out_col] = pa.array([], payload_type)
+        if t.num_rows == 0:
+            return pa.table(empty)
+        tag = np.asarray(t["_tag"].to_pylist(), dtype=np.int8)
+        keys = np.asarray(t["_k"].to_pylist(), dtype=np.int64)
+        pay_idx = np.flatnonzero(tag == 0)
+        pair_idx = np.flatnonzero(tag == 1)
+        if len(pair_idx) == 0 or len(pay_idx) == 0:
+            return pa.table(empty)
+        if dedup:
+            # all copies of a (key, other-id) pair live in this block;
+            # keys are already sorted, lexsort refines by the other id
+            other = np.asarray(
+                t[carry_cols[0]].take(pa.array(pair_idx)).to_pylist(),
+                dtype=np.int64)
+            order = np.lexsort((other, keys[pair_idx]))
+            ko, oo = keys[pair_idx][order], other[order]
+            first = np.concatenate(([True], (ko[1:] != ko[:-1])
+                                    | (oo[1:] != oo[:-1])))
+            pair_idx = pair_idx[order[first]]
+        pk = keys[pay_idx]              # sorted (subsequence of sorted)
+        pos = np.searchsorted(pk, keys[pair_idx])
+        ok = pos < len(pk)
+        ok[ok] = pk[pos[ok]] == keys[pair_idx[ok]]
+        pair_idx, pos = pair_idx[ok], pos[ok]
+        take_pairs = pa.array(pair_idx)
+        cols = {pair_key: t["_k"].take(take_pairs)}
+        for c in carry_cols:
+            cols[c] = t[c].take(take_pairs)
+        cols[out_col] = t["_pay"].take(pa.array(pay_idx[pos]))
+        return pa.table(cols)
+
+    return tagged.sort("_k").map_batches(
+        resolve, batch_size=None, batch_format="pyarrow")
 
 
 def _first_per_pair(pairs_ds):
@@ -588,41 +782,66 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.9, bits: int = 8,
                             multiprobe: int = 1, seed: int = 0xE1B,
-                            max_bucket: int = 10_000):
+                            max_bucket: int = 10_000,
+                            broadcast_max_bytes: int = 256 * 2 ** 20):
     """Cosine near-dup pairs, LSH-bucketed (the 100 TB scale path).
 
-    Random-hyperplane signatures shard the self-join: each vector is
-    emitted to its own bucket plus every bucket within Hamming distance
-    ``multiprobe`` of its signature; one range-partition sort
-    co-locates buckets and each block brute-forces its buckets with one
-    matmul per bucket. Approximate by design — recall falls with the
-    angle; raise ``multiprobe`` (cost ~ C(bits, ≤multiprobe) copies) or
-    lower ``bits`` to trade cost for recall. Pair duplicates across
-    probed buckets collapse via the sorted-run reduce.
+    Random-hyperplane signatures shard the self-join: each vector's id
+    is emitted to its own bucket plus every bucket within Hamming
+    distance ``multiprobe`` of its signature; one range-partition sort
+    co-locates buckets and each block emits its buckets' candidate
+    pairs. Approximate by design — recall falls with the angle; raise
+    ``multiprobe`` (cost ~ C(bits, ≤multiprobe) narrow rows) or lower
+    ``bits`` to trade cost for recall.
+
+    Shuffle plan: the probe shuffle moves ONLY ``(bucket, id)`` — the
+    unit vector is NOT serialized once per probed bucket
+    (``1 + C(bits, ≤multiprobe)``×, the round-2 inefficiency flagged
+    in VERDICT.md). Verification is size-gated like
+    ``search_dictionary_many``: unit vectors ≤ ``broadcast_max_bytes``
+    ship ONCE via ``ray.put`` and each bucket block verifies with one
+    matmul per bucket; bigger tables take the attach path — candidate
+    pairs deduped in-block, each side's vector joined on via a
+    tagged-union key sort (:func:`_attach_payload`), so a vector
+    crosses the wire once per pair side.
     """
     from itertools import combinations
 
     from orchid_fst_ray.pipelines.similarity import _hyperplanes, _signatures
 
+    def to_units(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        m = _vec_matrix(t[vec_col])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        unit = (m / n[:, None]).astype(np.float32)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "unit": pa.array([v.tobytes() for v in unit],
+                             pa.large_binary()),
+        })
+
+    # units are consumed twice (probe stream + verification attach);
+    # pin them so normalization runs once
+    units = (ds.select_columns([id_col, vec_col])
+             .map_batches(to_units, batch_format="pyarrow").materialize())
+
     planes_holder: dict = {}
 
     def to_buckets(t: pa.Table) -> pa.Table:
-        from orchid_fst_ray.pipelines.dedup import _vec_matrix
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        m = _vec_matrix(t[vec_col])
-        if m.size == 0:
+        if len(ids) == 0:
             # don't cache planes off an empty batch (dim would be wrong
             # for every later batch in this worker) — just emit nothing
             return pa.table({
                 "bucket": pa.array([], pa.uint64()),
                 id_col: pa.array([], pa.int64()),
-                "unit": pa.array([], pa.large_binary()),
             })
+        unit = np.vstack([np.frombuffer(v, dtype=np.float32)
+                          for v in t["unit"].to_pylist()]).astype(
+                              np.float64)
         if "p" not in planes_holder:
-            planes_holder["p"] = _hyperplanes(m.shape[1], bits, seed)
-        n = np.linalg.norm(m, axis=1)
-        n[n == 0] = 1.0
-        unit = m / n[:, None]
+            planes_holder["p"] = _hyperplanes(unit.shape[1], bits, seed)
         sig = _signatures(unit, planes_holder["p"])
         # probe masks: identity + all bit-flips up to `multiprobe`
         masks = [np.uint64(0)]
@@ -632,62 +851,110 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
                 for b in combo:
                     acc |= np.uint64(1) << np.uint64(b)
                 masks.append(acc)
-        dim = unit.shape[1] if unit.size else 0
-        out_bucket, out_id, out_vec = [], [], []
-        for mask in masks:
-            out_bucket.append(np.bitwise_xor(sig, mask))
-            out_id.append(ids)
-            out_vec.append(unit)
-        flat_vec = (np.concatenate(out_vec).astype(np.float32)
-                    if out_vec else np.zeros((0, 0), np.float32))
+        out_bucket = [np.bitwise_xor(sig, mask) for mask in masks]
         return pa.table({
             "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
-            id_col: pa.array(np.concatenate(out_id), pa.int64()),
-            "unit": pa.array([v.tobytes() for v in flat_vec],
-                             pa.large_binary()),
+            id_col: pa.array(np.tile(ids, len(masks)), pa.int64()),
         })
 
-    buckets = ds.select_columns([id_col, vec_col]).map_batches(
-        to_buckets, batch_format="pyarrow")
+    buckets = units.map_batches(to_buckets, batch_format="pyarrow")
+    sorted_buckets = buckets.sort("bucket")
 
+    if _col_nbytes(units, "unit") <= broadcast_max_bytes:
+        import ray
+        ids_l, unit_l = [], []
+        for t in units.iter_batches(batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            ids_l.append(np.asarray(t[id_col].to_pylist(), np.int64))
+            unit_l.append(np.vstack([
+                np.frombuffer(v, dtype=np.float32)
+                for v in t["unit"].to_pylist()]).astype(np.float64))
+        all_ids = (np.concatenate(ids_l) if ids_l
+                   else np.zeros(0, np.int64))
+        all_unit = (np.vstack(unit_l) if unit_l
+                    else np.zeros((0, 0), np.float64))
+        order = np.argsort(all_ids)
+        ref = ray.put((all_ids[order], all_unit[order]))
+
+        def block_verified(t: pa.Table) -> pa.Table:
+            lut_ids, lut_unit = ray.get(ref)   # zero-copy store read
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+            ia, ib, cs = [], [], []
+            bounds = np.concatenate((
+                [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1,
+                [len(ids)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                gi = np.unique(ids[s:e])
+                if len(gi) < 2 or len(gi) > max_bucket:
+                    continue
+                unit = lut_unit[np.searchsorted(lut_ids, gi)]
+                cos = unit @ unit.T
+                iu, ju = np.nonzero(np.triu(cos >= threshold, k=1))
+                ia.extend(gi[iu].tolist())
+                ib.extend(gi[ju].tolist())
+                cs.extend(cos[iu, ju].tolist())
+            return pa.table({"id_a": pa.array(ia, pa.int64()),
+                             "id_b": pa.array(ib, pa.int64()),
+                             "cosine": pa.array(cs, pa.float64())})
+
+        pairs = sorted_buckets.map_batches(
+            block_verified, batch_size=None, batch_format="pyarrow")
+        return _first_per_pair(pairs)
+
+    # -------- attach path: vectors never materialize driver-side
     def bucket_pairs(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
-        vecs = t["unit"].to_pylist()
-        ia, ib, cs = [], [], []
+        out_a, out_b = [], []
         bounds = np.concatenate((
             [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))
         for s, e in zip(bounds[:-1], bounds[1:]):
-            gi, uniq = np.unique(ids[s:e], return_index=True)
+            gi = np.unique(ids[s:e])
             if len(gi) < 2 or len(gi) > max_bucket:
                 continue
-            unit = np.vstack([
-                np.frombuffer(vecs[s + u], dtype=np.float32)
-                for u in uniq]).astype(np.float64)
-            cos = unit @ unit.T
-            iu, ju = np.nonzero(np.triu(cos >= threshold, k=1))
-            ia.extend(gi[iu].tolist())
-            ib.extend(gi[ju].tolist())
-            cs.extend(cos[iu, ju].tolist())
+            iu, ju = np.triu_indices(len(gi), k=1)
+            out_a.append(gi[iu])
+            out_b.append(gi[ju])
+        ia = (np.concatenate(out_a) if out_a else np.zeros(0, np.int64))
+        ib = (np.concatenate(out_b) if out_b else np.zeros(0, np.int64))
         return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "cosine": pa.array(cs, pa.float64())})
+                         "id_b": pa.array(ib, pa.int64())})
 
-    raw = buckets.sort("bucket").map_batches(
+    cand = sorted_buckets.map_batches(
         bucket_pairs, batch_size=None, batch_format="pyarrow")
 
-    def dedup_runs(t: pa.Table) -> pa.Table:
-        ia = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
-        ib = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
-        cs = np.asarray(t["cosine"].to_pylist(), dtype=np.float64)
-        if len(ia) == 0:
-            return t
-        new = np.concatenate(
-            ([True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])))
-        keep = np.flatnonzero(new)
-        return pa.table({"id_a": pa.array(ia[keep]),
-                         "id_b": pa.array(ib[keep]),
-                         "cosine": pa.array(cs[keep], pa.float64())})
+    with_a = _attach_payload(cand, units, pair_key="id_a",
+                             payload_key=id_col, payload_col="unit",
+                             out_col="_unit_a",
+                             carry_cols=[("id_b", pa.int64())],
+                             payload_type=pa.large_binary(), dedup=True)
+    with_b = _attach_payload(with_a, units, pair_key="id_b",
+                             payload_key=id_col, payload_col="unit",
+                             out_col="_unit_b",
+                             carry_cols=[("id_a", pa.int64()),
+                                         ("_unit_a", pa.large_binary())],
+                             payload_type=pa.large_binary())
 
-    return raw.sort(["id_a", "id_b"]).map_batches(
-        dedup_runs, batch_size=None, batch_format="pyarrow")
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ua = np.vstack([np.frombuffer(v, dtype=np.float32)
+                        for v in t["_unit_a"].to_pylist()]).astype(
+                            np.float64)
+        ub = np.vstack([np.frombuffer(v, dtype=np.float32)
+                        for v in t["_unit_b"].to_pylist()]).astype(
+                            np.float64)
+        cos = np.einsum("ij,ij->i", ua, ub)
+        keep = cos >= threshold
+        ia = t["id_a"].to_numpy(zero_copy_only=False)[keep]
+        ib = t["id_b"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "cosine": pa.array(cos[keep], pa.float64())})
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
