@@ -398,6 +398,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = curate_corpus(_docs(sf_dir), near_dup_threshold=0.6)
         return (res["docs"].select_columns(["doc_id"]).sort("doc_id"))
 
+    def curated_docs_ngram(sf_dir: str):
+        """Same composite with the exact n-gram-Jaccard near-dup
+        backend — every stage (quality gate, exact dedup, jaccard
+        pairs, connected components) is DuckDB-expressible, so this
+        query carries a FULL end-to-end SQL oracle."""
+        from orchid_fst_ray.pipelines.curation import curate_corpus
+        res = curate_corpus(_docs(sf_dir), near_dup_threshold=0.5,
+                            near_dup_backend="ngram",
+                            ngram_max_posting=1_000_000)
+        return (res["docs"].select_columns(["doc_id"]).sort("doc_id"))
+
     def er_clusters(sf_dir: str):
         from orchid_fst_ray.pipelines.er import run_er
         from orchid_fst_ray.sources.pages import pages_from_documents
@@ -459,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
         "curated_docs": curated_docs,
+        "curated_docs_ngram": curated_docs_ngram,
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_frames": multimodal_audio_frames,
@@ -636,6 +648,77 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = ib
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
             ORDER BY id_a, id_b""",
+        # FULL composite oracle: quality gate (same predicate as
+        # quality_stats, min_tokens=10) → exact dedup (min doc_id per
+        # text) → exact 3-gram-Jaccard pairs at >= 0.5 → connected
+        # components (transitive closure via recursive CTE; min-id
+        # survivor) — end-to-end SQL for the curation pipeline.
+        "curated_docs_ngram": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS tk
+              FROM documents),
+            stats AS (
+              SELECT doc_id, text, n_chars, len(tk)::BIGINT AS n_tokens,
+                     tk
+              FROM base),
+            ex AS (SELECT doc_id, unnest(tk) AS tok,
+                          generate_subscripts(tk, 1) AS pos FROM stats),
+            grp AS (SELECT doc_id, tok,
+                           pos - row_number() OVER (
+                               PARTITION BY doc_id, tok ORDER BY pos) AS g
+                    FROM ex),
+            rl AS (SELECT doc_id, count(*) AS run FROM grp
+                   GROUP BY doc_id, tok, g),
+            mr AS (SELECT doc_id, max(run)::BIGINT AS max_run FROM rl
+                   GROUP BY doc_id),
+            gated AS (
+              SELECT s.doc_id, s.text
+              FROM stats s LEFT JOIN mr ON s.doc_id = mr.doc_id
+              WHERE s.n_tokens >= 10 AND s.n_tokens <= 100000
+                AND s.n_chars <= 12 * s.n_tokens
+                AND s.n_tokens <= s.n_chars
+                AND coalesce(mr.max_run, 0) < 8),
+            dd AS (SELECT min(doc_id) AS doc_id, text FROM gated
+                   GROUP BY text),
+            tok2 AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+')
+                                AS ts
+                     FROM dd),
+            sh2 AS (SELECT doc_id,
+                      CASE WHEN len(ts) >= 3 THEN list_distinct(
+                               list_transform(
+                                   generate_series(1, len(ts) - 2),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' '
+                                        || ts[i+2]))
+                           WHEN len(ts) > 0
+                                THEN [array_to_string(ts, ' ')]
+                           ELSE [] END AS sets
+                    FROM tok2),
+            exs AS (SELECT doc_id, unnest(sets) AS s FROM sh2),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                             count(*) AS i
+                      FROM exs a JOIN exs b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, len(sets) AS n FROM sh2),
+            pairs AS (SELECT ia, ib FROM inter
+                      JOIN sizes sa ON sa.doc_id = ia
+                      JOIN sizes sb ON sb.doc_id = ib
+                      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5),
+            edges AS (SELECT ia AS u, ib AS v FROM pairs
+                      UNION SELECT ib, ia FROM pairs),
+            reach(a, b) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+            labels AS (SELECT a AS node, min(b) AS mn FROM reach
+                       GROUP BY a)
+            SELECT doc_id FROM dd
+            WHERE doc_id NOT IN (SELECT node FROM labels
+                                 WHERE mn < node)
+            ORDER BY doc_id""",
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

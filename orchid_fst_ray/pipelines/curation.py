@@ -39,11 +39,19 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                   langs: tuple[str, ...] | None = None,
                   min_tokens: int = 10,
                   near_dup_threshold: float = 0.7,
-                  n_perm: int = 128, bands: int = 32) -> dict:
+                  n_perm: int = 128, bands: int = 32,
+                  near_dup_backend: str = "minhash",
+                  ngram_max_posting: int = 1_000_000) -> dict:
     """Returns {"docs": surviving Dataset, "metrics": stage counts}.
 
     Survivor rule for both dedup stages: keep the minimum id of each
     duplicate/near-dup cluster (deterministic).
+
+    ``near_dup_backend``: ``"minhash"`` (default — the approximate
+    scale path) or ``"ngram"`` — exact n-gram-Jaccard pairs
+    (:func:`~orchid_fst_ray.pipelines.dedup.ngram_jaccard_pairs`),
+    which makes the WHOLE composite DuckDB-expressible and is what the
+    ``curated_docs_ngram`` driver oracle exercises end-to-end.
 
     ``id_col`` must be a NON-NEGATIVE integer column: the near-dup
     stage zero-pads stringified ids so lexicographic order equals
@@ -90,11 +98,22 @@ def curate_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     # fast path under its threshold, distributed loop above it) →
     # drop every non-root node. The drop set is O(pairs) — broadcast
     # once, applied with a vectorized is_in filter.
-    pairs = dd.minhash_dup_pairs(deduped, text_col=text_col,
-                                 id_col=id_col,
-                                 threshold=near_dup_threshold,
-                                 n_perm=n_perm,
-                                 bands=bands).materialize()
+    if near_dup_backend == "minhash":
+        pairs = dd.minhash_dup_pairs(deduped, text_col=text_col,
+                                     id_col=id_col,
+                                     threshold=near_dup_threshold,
+                                     n_perm=n_perm,
+                                     bands=bands).materialize()
+    elif near_dup_backend == "ngram":
+        pairs = dd.ngram_jaccard_pairs(deduped, text_col=text_col,
+                                       id_col=id_col,
+                                       threshold=near_dup_threshold,
+                                       max_posting=ngram_max_posting
+                                       ).materialize()
+    else:
+        raise ValueError(
+            f"unknown near_dup_backend {near_dup_backend!r}; "
+            "expected 'minhash' or 'ngram'")
     # ZERO-PAD the stringified ids: connected_components labels by
     # LEXICOGRAPHIC min, and only padded strings preserve the numeric
     # min-id survivor rule (min("123","5") is "123")

@@ -277,6 +277,51 @@ def test_curate_corpus_end_to_end(ray_session, docs_table):
     assert not (set(out_ids) & set(range(2000, 2005)))
 
 
+def test_curate_corpus_ngram_backend(ray_session, docs_table):
+    """The exact n-gram-Jaccard near-dup backend (the DuckDB-oracle-able
+    variant): same gates and exact dedup, near-dup pairs from
+    ngram_jaccard_pairs; survivors differ from minhash only where the
+    approximate signature disagrees with exact Jaccard. Also rejects
+    unknown backends loudly."""
+    import pytest
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.curation import curate_corpus
+    from orchid_fst_ray.pipelines import dedup as dd
+    from orchid_fst_ray.stages.clustering import union_find_components
+
+    ds = rd.from_arrow(docs_table.select(["doc_id", "text"])).repartition(4)
+    res = curate_corpus(ds, near_dup_threshold=0.5,
+                        near_dup_backend="ngram",
+                        ngram_max_posting=1_000_000)
+    out_ids = sorted(res["docs"].to_pandas()["doc_id"].tolist())
+    m = res["metrics"]
+    assert len(out_ids) == m["output"] == len(set(out_ids))
+
+    # driver re-derivation: quality gate -> exact dedup -> exact
+    # jaccard pairs -> union-find -> min-id survivors
+    from orchid_fst_ray.pipelines import textstats as ts
+    q = ts.quality_stats(ds).to_pandas()
+    ok = set(q[q["quality_ok"]]["doc_id"].astype(int))
+    gated = ds.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["doc_id"],
+                             value_set=pa.array(sorted(ok), pa.int64()))),
+        batch_format="pyarrow")
+    deduped = dd.exact_dedup_rows(gated)
+    pairs = dd.ngram_jaccard_pairs(
+        deduped, threshold=0.5, max_posting=1_000_000).to_pandas()
+    comp = union_find_components(
+        list(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int))))
+    drop = {n for n, root in comp.items() if n != min(
+        x for x, r in comp.items() if r == root)}
+    # every dropped id must be a non-min member of some jaccard cluster,
+    # and no survivor may be in the drop set
+    assert not (set(out_ids) & drop)
+
+    with pytest.raises(ValueError, match="near_dup_backend"):
+        curate_corpus(ds, near_dup_backend="nope")
+
+
 def test_curation_driver_materialization_bounded(ray_session, docs_table):
     """The composite must not pull corpus-sized data to the driver:
     curate_corpus's only driver-crossing structure is the near-dup drop
