@@ -39,7 +39,8 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            num_partitions: int = 16,
            scorer_concurrency=(2, 8),
            hot_block_rows: int | None = 4096,
-           cluster_driver_threshold: int = 200_000) -> dict:
+           cluster_driver_threshold: int = 200_000,
+           stage_metrics: bool = False) -> dict:
     """Run the pipeline; returns dict with ``assignment`` (url,
     cluster_id Dataset), intermediate datasets, lineage and metrics.
 
@@ -47,7 +48,14 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
     key edit distance ≤ it match regardless of score. It defaults to
     ``d - 1`` so ``score_threshold`` genuinely gates the outermost ring
     of fuzzy candidates (at ``max_char_dist >= d`` the threshold would
-    be dead code — every automaton-generated pair bypasses it)."""
+    be dead code — every automaton-generated pair bypasses it).
+
+    ``stage_metrics=True`` materializes each stage boundary and records
+    ``metrics["stages"][name] = {"wall_sec", "rows"}`` — wall time is
+    per-stage EXCLUSIVE (the barrier serializes stages, so stage
+    regressions are attributable), at the cost of losing the streaming
+    overlap between consecutive stages. Leave it off for headline
+    throughput runs; turn it on to localize a regression."""
     if max_char_dist is None:
         max_char_dist = max(0, d - 1)
     store = CheckpointStore(checkpoint_dir)
@@ -56,7 +64,20 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            f"|k={doc_key_tokens}|{input_fingerprint}")
     t_start = time.time()
     metrics: dict = {}
+    if stage_metrics:
+        metrics["stages"] = {}
 
+    def _boundary(name: str, ds, t0: float):
+        """stage_metrics barrier: materialize + record wall/rows."""
+        if not stage_metrics:
+            return ds
+        ds = ds.materialize()
+        metrics["stages"][name] = {
+            "wall_sec": round(time.time() - t0, 3),
+            "rows": ds.count()}
+        return ds
+
+    t0 = time.time()
     fp_docs = f"docs|{cfg}"
     docs, resumed = store.run_stage(
         "docs", fp_docs,
@@ -64,7 +85,9 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
             ExtractNormalize(doc_key_tokens=doc_key_tokens),
             batch_format="pyarrow"))
     metrics["docs_resumed"] = resumed
+    docs = _boundary("extract", docs, t0)
 
+    t0 = time.time()
     fp_cand = f"candidates|{fp_docs}"
     candidates, resumed = store.run_stage(
         "candidates", fp_cand,
@@ -75,7 +98,9 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
                                 url_col="norm_url"),
             num_partitions=num_partitions))
     metrics["candidates_resumed"] = resumed
+    candidates = _boundary("candidates", candidates, t0)
 
+    t0 = time.time()
     fp_scored = f"scored|{fp_cand}"
     scored, resumed = store.run_stage(
         "scored", fp_scored,
@@ -83,10 +108,12 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
                             max_char_dist=max_char_dist,
                             concurrency=scorer_concurrency))
     metrics["scored_resumed"] = resumed
+    scored = _boundary("scored", scored, t0)
 
     # clustering is seeded with EVERY doc url, so its output is the
     # complete (url, cluster_id) assignment — singletons label
     # themselves and no outer join against docs is needed.
+    t0 = time.time()
     fp_clusters = f"clusters|{fp_scored}"
     clusters, resumed = store.run_stage(
         "clusters", fp_clusters,
@@ -95,6 +122,7 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
             num_partitions=num_partitions,
             driver_threshold=cluster_driver_threshold))
     metrics["clusters_resumed"] = resumed
+    clusters = _boundary("clusters", clusters, t0)
     assignment = clusters
 
     metrics["wall_sec"] = round(time.time() - t_start, 3)
