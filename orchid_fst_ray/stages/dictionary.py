@@ -188,16 +188,26 @@ class FstSearcherPool:
     Scale note: this broadcasts the whole index to each actor — right
     for dictionary-sized indexes probed by MANY queries. When the index
     itself is huge, shard the queries × index-partitions product with a
-    join on partition ranges instead.
+    join on partition ranges instead. Each query is range-pruned
+    against every partition's [part_lo, part_hi] (the same predicate
+    the sharded path uses), so ``match``/``prefix``/prefixed-``fuzzy``
+    probes touch only the partitions that can match; ``probes`` /
+    ``pruned`` counters record the split per actor.
     """
 
     def __init__(self, index_ref, kind: str, params: dict,
                  has_output: bool) -> None:
         import ray
-        self.fsts = [Fst.from_bytes(b) for b in ray.get(index_ref)]
+        self.fsts = [(lo, hi, Fst.from_bytes(b))
+                     for lo, hi, b in ray.get(index_ref)]
         self.kind = kind
         self.params = params
         self.has_output = has_output
+        # observability: probes actually run vs skipped by the
+        # [part_lo, part_hi] range prune (same predicate the sharded
+        # path uses) — per-actor lifetime counters
+        self.probes = 0
+        self.pruned = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from orchid_fst_ray.fst import fuzzy_automaton
@@ -216,7 +226,11 @@ class FstSearcherPool:
                 aut = StrAutomaton(q)
             else:  # pragma: no cover
                 raise ValueError(f"unsupported batch query kind {self.kind}")
-            for fst in self.fsts:
+            for lo, hi, fst in self.fsts:
+                if _query_prunes(self.kind, p, q, lo, hi):
+                    self.pruned += 1
+                    continue
+                self.probes += 1
                 for k, v in fst.search(aut):
                     out_q.append(q)
                     out_k.append(k)
@@ -274,8 +288,11 @@ def search_dictionary_many(index_ds, queries_ds, kind: str = "fuzzy",
     nbytes = sum(r["b"] for r in sizes.take_all())
 
     if nbytes <= broadcast_max_bytes:
-        blobs = [r["fst"] for r in
-                 index_ds.select_columns(["fst"]).take_all()]
+        # blobs travel WITH their [part_lo, part_hi] ranges so each
+        # actor can reuse the sharded path's per-query range prune
+        blobs = [(r["part_lo"], r["part_hi"], r["fst"]) for r in
+                 index_ds.select_columns(
+                     ["part_lo", "part_hi", "fst"]).take_all()]
         ref = ray.put(blobs)
         return queries_ds.map_batches(
             FstSearcherPool,

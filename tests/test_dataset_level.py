@@ -125,6 +125,40 @@ def test_batched_fuzzy_matches_per_query(words_index, ref_words):
         assert got == expect
 
 
+def test_broadcast_pool_range_pruning(words_index, ref_words):
+    """The broadcast FstSearcherPool prunes partitions by their
+    [part_lo, part_hi] range per query (same predicate as the sharded
+    path): exact-match probes against an 8-partition index touch ~1
+    partition each, and the results are identical to unpruned search."""
+    import ray
+    from orchid_fst_ray.stages.dictionary import FstSearcherPool
+
+    rows = words_index.select_columns(
+        ["part_lo", "part_hi", "fst"]).take_all()
+    assert len(rows) == 8
+    ref = ray.put([(r["part_lo"], r["part_hi"], r["fst"]) for r in rows])
+    pool = FstSearcherPool(ref, "match", {}, has_output=False)
+    queries = ["hair", "zebra", "aardvark", "nosuchword_zz"]
+    out = pool(pa.table({"query": pa.array(queries, pa.large_string())}))
+    # every existing word found, missing word not
+    got = set(out["key"].to_pylist())
+    present = {q for q in queries if q in set(ref_words)}
+    assert got == present
+    # pruning engaged: each match query can land in at most one
+    # range-disjoint partition, so probes <= n_queries and the other
+    # (n_parts - 1) per query were pruned
+    assert pool.probes <= len(queries)
+    assert pool.pruned == len(queries) * len(rows) - pool.probes
+
+    # prefix kind prunes too
+    pool_p = FstSearcherPool(ref, "prefix", {}, has_output=False)
+    out_p = pool_p(pa.table({"query": pa.array(
+        ["hairb"], pa.large_string())}))
+    assert set(out_p["key"].to_pylist()) == {
+        w for w in ref_words if w.startswith("hairb")}
+    assert pool_p.pruned > 0
+
+
 def test_sharded_path_matches_broadcast(words_index, ref_words):
     """search_dictionary_many with broadcast_max_bytes=0 (the sharded
     queries × partition-ranges join — the big-index path) returns
