@@ -34,7 +34,15 @@ _MISSING = object()
 
 
 class LevenshteinAutomaton:
-    """DFA accepting strings within edit distance ``d`` of ``query``."""
+    """DFA accepting strings within edit distance ``d`` of ``query``.
+
+    States are INTERNED to small ints: the DFA is discovered lazily
+    (state tuples live in ``_states``), every transition memoizes into
+    a per-state ``{char_class: next_id}`` dict, and ``is_match``
+    becomes a list lookup — an arc visit in the FST×DFA product DFS
+    costs two dict gets instead of hashing an O(d) band tuple.
+    ``accept_cp`` is the codepoint fast path the FST traversal uses
+    (no ``chr``/str round-trip per arc)."""
 
     OTHER = -1  # char class for characters not in the query
 
@@ -47,6 +55,7 @@ class LevenshteinAutomaton:
             if ch not in classes:
                 classes[ch] = len(classes)
         self._class_of = classes
+        self._class_of_cp = {ord(ch): c for ch, c in classes.items()}
         self._qclass = tuple(classes[ch] for ch in query)
         self._cap = d + 1
         self._width = 2 * d + 1
@@ -54,21 +63,41 @@ class LevenshteinAutomaton:
         band0 = tuple(min(j, cap) if 0 <= j <= n else cap
                       for j in range(-d, d + 1))
         self._start_state = (0, band0)
-        # transition cache: (state, char_class) -> state or None (dead)
-        self._trans: dict[tuple, tuple | None] = {}
+        # interned DFA: state id -> tuple / match flag / transitions.
+        # _trans memoizes per char CLASS (the DP is a function of the
+        # class); _trans_cp additionally memoizes per raw CODEPOINT so
+        # the hot path is a single dict get per arc visit.
+        self._states: list[tuple] = [self._start_state]
+        self._ids: dict[tuple, int] = {self._start_state: 0}
+        self._match: list[bool] = [self._tuple_match(self._start_state)]
+        self._trans: list[dict] = [{}]
+        self._trans_cp: list[dict] = [{}]
+
+    def _tuple_match(self, state: tuple) -> bool:
+        i, band = state[0], state[1]
+        k = self.n - i + self.d
+        return 0 <= k < self._width and band[k] <= self.d
+
+    def _intern(self, tup: tuple | None) -> int | None:
+        if tup is None:
+            return None
+        sid = self._ids.get(tup)
+        if sid is None:
+            sid = len(self._states)
+            self._ids[tup] = sid
+            self._states.append(tup)
+            self._match.append(self._tuple_match(tup))
+            self._trans.append({})
+            self._trans_cp.append({})
+        return sid
 
     # -- automaton protocol -------------------------------------------------
 
     def start(self):
-        s = self._start_state
-        return s if min(s[1]) <= self.d else None
+        return 0 if min(self._start_state[1]) <= self.d else None
 
     def is_match(self, state) -> bool:
-        if state is None:
-            return False
-        i, band = state
-        k = self.n - i + self.d
-        return 0 <= k < self._width and band[k] <= self.d
+        return state is not None and self._match[state]
 
     def can_match(self, state) -> bool:
         return state is not None
@@ -76,13 +105,25 @@ class LevenshteinAutomaton:
     def accept(self, state, ch: str):
         if state is None:
             return None
-        cls = self._class_of.get(ch, -1)
-        key = (state, cls)
-        cached = self._trans.get(key, _MISSING)
+        return self.accept_cp(state, ord(ch))
+
+    def accept_cp(self, state: int | None, cp: int):
+        """Codepoint fast path. CONTRACT (relied on by Fst.search):
+        for automatons providing accept_cp, ``can_match(s)`` is
+        exactly ``s is not None``."""
+        if state is None:
+            return None
+        tc = self._trans_cp[state]
+        cached = tc.get(cp, _MISSING)
         if cached is not _MISSING:
             return cached
-        nxt = self._step(state, cls)
-        self._trans[key] = nxt
+        cls = self._class_of_cp.get(cp, -1)
+        t = self._trans[state]
+        nxt = t.get(cls, _MISSING)
+        if nxt is _MISSING:
+            nxt = self._intern(self._step(self._states[state], cls))
+            t[cls] = nxt
+        tc[cp] = nxt
         return nxt
 
     # -- core banded DP step ------------------------------------------------
@@ -127,27 +168,18 @@ class DamerauLevenshteinAutomaton(LevenshteinAutomaton):
     reference's ``m_curEdits/m_prevEdits/m_prevStr`` triple
     (automaton.h:561-579), banded."""
 
-    def start(self):
-        i, band = self._start_state
-        if min(band) > self.d:
-            return None
-        return (i, band, None, None)
+    def __init__(self, query: str, d: int) -> None:
+        super().__init__(query, d)
+        # re-seed the interner with the DL state shape
+        dl_start = (self._start_state[0], self._start_state[1],
+                    None, None)
+        self._states = [dl_start]
+        self._ids = {dl_start: 0}
+        self._match = [self._tuple_match(dl_start)]
+        self._trans = [{}]
+        self._trans_cp = [{}]
 
-    def is_match(self, state) -> bool:
-        if state is None:
-            return False
-        i, band = state[0], state[1]
-        k = self.n - i + self.d
-        return 0 <= k < self._width and band[k] <= self.d
-
-    def accept(self, state, ch: str):
-        if state is None:
-            return None
-        cls = self._class_of.get(ch, -1)
-        key = (state, cls)
-        cached = self._trans.get(key, _MISSING)
-        if cached is not _MISSING:
-            return cached
+    def _step(self, state, cls):
         i, band, prev_band, prev_cls = state
         d, cap, n, qc = self.d, self._cap, self.n, self._qclass
         width = self._width
@@ -183,9 +215,7 @@ class DamerauLevenshteinAutomaton(LevenshteinAutomaton):
             new.append(v)
             prev_new = v
         t = tuple(new)
-        nxt = None if min(t) > self.d else (i2, t, band, cls)
-        self._trans[key] = nxt
-        return nxt
+        return None if min(t) > self.d else (i2, t, band, cls)
 
 
 # ---------------------------------------------------------------- plain DPs

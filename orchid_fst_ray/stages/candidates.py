@@ -24,6 +24,7 @@ Scale/skew notes:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -32,6 +33,48 @@ from orchid_fst_ray.fst import FstBuilder, fuzzy_automaton
 __all__ = ["BlockCandidates", "generate_candidates",
            "generate_hot_candidates", "generate_url_candidates",
            "dedupe_pairs"]
+
+
+def _run_triangle_indices(bounds: np.ndarray) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+    """All (i < j) index pairs WITHIN each run of ``bounds``
+    (``[0, b1, ..., n]``), fully vectorized: returns global (a_idx,
+    b_idx) arrays ordered by (run, j, i) — the same order the classic
+    nested ``for i < j`` loop over each run emits."""
+    sizes = (bounds[1:] - bounds[:-1]).astype(np.int64)
+    starts = bounds[:-1].astype(np.int64)
+    n = int(bounds[-1])
+    # per-element local position within its run = how many earlier
+    # elements it pairs with as the b-side
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), local)
+    seg_starts = np.concatenate(([0], np.cumsum(local)[:-1]))
+    total = int(local.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts,
+                                                          local)
+    a_idx = np.repeat(np.repeat(starts, sizes), local) + within
+    return a_idx, b_idx
+
+
+def _expand_cross(counts: np.ndarray, offsets: np.ndarray,
+                  I: np.ndarray, J: np.ndarray) -> tuple[np.ndarray,
+                                                         np.ndarray,
+                                                         np.ndarray]:
+    """Cross-product expansion over a CSR id layout: for each match
+    pair (I[p], J[p]) of key indices, emit every (a-id, b-id) index
+    combination — ``counts[k]`` ids per key ``k`` starting at
+    ``offsets[k]``. Returns global (ia_idx, ib_idx, pair_idx) arrays
+    ordered by (pair, a, b), matching the nested loop's emit order."""
+    ci = counts[I]
+    cj = counts[J]
+    sizes = ci * cj
+    total = int(sizes.sum())
+    pid = np.repeat(np.arange(len(I), dtype=np.int64), sizes)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    l = np.arange(total, dtype=np.int64) - starts[pid]
+    ia_idx = offsets[I][pid] + l // cj[pid]
+    ib_idx = offsets[J][pid] + l % cj[pid]
+    return ia_idx, ib_idx, pid
 
 
 class BlockCandidates:
@@ -56,74 +99,100 @@ class BlockCandidates:
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         key_col, id_col = self.key_col, self.id_col
         block = g[self.block_col].iloc[0] if len(g) else ""
-        # distinct keys, sorted — the FST build order requirement
-        by_key: dict[str, list] = {}
-        for k, i in zip(g[key_col].tolist(), g[id_col].tolist()):
-            by_key.setdefault(k, []).append(i)
-        keys = sorted(by_key)
-        out_a: list = []
-        out_b: list = []
-        out_ka: list[str] = []
-        out_kb: list[str] = []
+        n = len(g)
+        if n == 0:
+            return _PAIR_SCHEMA_EMPTY()
+        # CSR over distinct keys: rows sorted by (key, id); the sorted
+        # distinct keys double as the FST build order
+        g2 = g[[id_col, key_col]].sort_values(
+            [key_col, id_col], kind="mergesort")
+        idf = g2[id_col].to_numpy(dtype=object)
+        kf = g2[key_col].to_numpy(dtype=object)
+        change = np.flatnonzero(kf[1:] != kf[:-1]) + 1
+        bounds = np.concatenate(([0], change, [n])).astype(np.int64)
+        keys = kf[bounds[:-1]]
+        counts = bounds[1:] - bounds[:-1]
+        offsets = bounds[:-1]
+
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        ka_parts: list[np.ndarray] = []
+        kb_parts: list[np.ndarray] = []
+        src_parts: list[str] = []
+
         if len(keys) > 1:
             b = FstBuilder(has_output=True)
-            for idx, k in enumerate(keys):
-                b.insert(k, idx)
+            b.insert_many(list(keys), list(range(len(keys))))
             fst = b.finish()
+            I: list[int] = []
+            J: list[int] = []
             for idx, k in enumerate(keys):
                 aut = fuzzy_automaton(k, self.d, self.same_prefix_len,
                                       self.damerau)
                 budget = self.max_pairs_per_key
                 for mk, midx in fst.search(aut):
                     if midx <= idx:
-                        continue  # symmetric self-join: emit each pair once
-                    for ia in by_key[k]:
-                        for ib in by_key[mk]:
-                            a, bb = (ia, ib) if ia < ib else (ib, ia)
-                            out_a.append(a)
-                            out_b.append(bb)
-                            out_ka.append(k if ia < ib else mk)
-                            out_kb.append(mk if ia < ib else k)
+                        continue  # symmetric self-join: each pair once
+                    I.append(idx)
+                    J.append(midx)
                     budget -= 1
                     if budget <= 0:
                         break
-        # exact-duplicate doc_keys: pair up ids sharing a key
-        for k in keys:
-            ids = sorted(by_key[k])
-            for i in range(len(ids) - 1):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_ka.append(k)
-                    out_kb.append(k)
-        src = ["fuzzy"] * len(out_a)
+            if I:
+                ia_idx, ib_idx, pid = _expand_cross(
+                    counts, offsets, np.asarray(I, np.int64),
+                    np.asarray(J, np.int64))
+                A, B = idf[ia_idx], idf[ib_idx]
+                KA = keys[np.asarray(I, np.int64)[pid]]
+                KB = keys[np.asarray(J, np.int64)[pid]]
+                swap = A > B
+                a_parts.append(np.where(swap, B, A))
+                b_parts.append(np.where(swap, A, B))
+                ka_parts.append(np.where(swap, KB, KA))
+                kb_parts.append(np.where(swap, KA, KB))
+                src_parts.append("fuzzy")
+        # exact-duplicate doc_keys: all (i < j) id pairs within each
+        # key run (ids are sorted within each key by the CSR sort)
+        if (counts > 1).any():
+            a_idx, b_idx = _run_triangle_indices(bounds)
+            a_parts.append(idf[a_idx])
+            b_parts.append(idf[b_idx])
+            ka_parts.append(kf[a_idx])
+            kb_parts.append(kf[a_idx])
+            src_parts.append("fuzzy")
         # same-normalized-url pairs fold into the same block pass
         # (norm_url starts with the host, so they always co-group) —
         # saves a whole extra sort over the docs table
-        if self.url_col is not None and len(g):
-            by_url: dict[str, list] = {}
-            for u, i, k in zip(g[self.url_col].tolist(),
-                               g[id_col].tolist(), g[key_col].tolist()):
-                by_url.setdefault(u, []).append((i, k))
-            for u, rows in by_url.items():
-                if len(rows) < 2:
-                    continue
-                rows = sorted(rows)
-                for i in range(len(rows) - 1):
-                    for j in range(i + 1, len(rows)):
-                        out_a.append(rows[i][0])
-                        out_b.append(rows[j][0])
-                        out_ka.append(rows[i][1])
-                        out_kb.append(rows[j][1])
-                        src.append("url")
+        if self.url_col is not None:
+            g3 = g[[self.url_col, id_col, key_col]].sort_values(
+                [self.url_col, id_col, key_col], kind="mergesort")
+            uf = g3[self.url_col].to_numpy(dtype=object)
+            uidf = g3[id_col].to_numpy(dtype=object)
+            ukf = g3[key_col].to_numpy(dtype=object)
+            uchange = np.flatnonzero(uf[1:] != uf[:-1]) + 1
+            ubounds = np.concatenate(([0], uchange, [n])).astype(np.int64)
+            if ((ubounds[1:] - ubounds[:-1]) > 1).any():
+                ua_idx, ub_idx = _run_triangle_indices(ubounds)
+                a_parts.append(uidf[ua_idx])
+                b_parts.append(uidf[ub_idx])
+                ka_parts.append(ukf[ua_idx])
+                kb_parts.append(ukf[ub_idx])
+                src_parts.append("url")
+
+        if not a_parts:
+            return _PAIR_SCHEMA_EMPTY()
+        src = np.concatenate([
+            np.full(len(p), s, dtype=object)
+            for p, s in zip(a_parts, src_parts)])
+        total = sum(len(p) for p in a_parts)
         # return Arrow (not pandas) so unions with the hot/url paths
         # keep a homogeneous block type for downstream shuffles
         return pa.table({
-            "url_a": pa.array(out_a, pa.string()),
-            "url_b": pa.array(out_b, pa.string()),
-            "key_a": pa.array(out_ka, pa.string()),
-            "key_b": pa.array(out_kb, pa.string()),
-            "block_key": pa.array([block] * len(out_a), pa.string()),
+            "url_a": pa.array(np.concatenate(a_parts), pa.string()),
+            "url_b": pa.array(np.concatenate(b_parts), pa.string()),
+            "key_a": pa.array(np.concatenate(ka_parts), pa.string()),
+            "key_b": pa.array(np.concatenate(kb_parts), pa.string()),
+            "block_key": pa.array([block] * total, pa.string()),
             "source": pa.array(src, pa.string()),
         })
 
@@ -149,6 +218,13 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     """
     cols = [id_col, key_col, block_col] + ([url_col] if url_col else [])
     slim = docs_ds.select_columns(cols)
+    if hot_block_rows is not None:
+        # the hot-block split consumes ``slim`` up to three times
+        # (size pass + normal + hot branch); pin the slim PROJECTION
+        # (ids/keys only — no document payload) in the object store so
+        # the upstream pipeline doesn't re-execute per consumer
+        # (spillable blocks, never driver memory)
+        slim = slim.materialize()
     inst = BlockCandidates(d=d, damerau=damerau, key_col=key_col,
                            id_col=id_col, block_col=block_col,
                            max_pairs_per_key=max_pairs_per_key,
@@ -343,40 +419,63 @@ def _PAIR_SCHEMA_EMPTY() -> pa.Table:
         "url_a", "url_b", "key_a", "key_b", "block_key", "source")})
 
 
+def _run_pairs_table(t: pa.Table, run_cols: list[str], id_col: str,
+                     key_col: str, blk_col: str, source: str,
+                     dedup: bool) -> pa.Table:
+    """All (i < j) row pairs within each equal-``run_cols`` run of the
+    (sorted) block ``t``, fully vectorized: only multi-row runs are
+    touched (Arrow C++ filter), rows are ordered within each run by
+    (id, key) via an Arrow sort (UTF-8 byte order == code-point
+    order), optionally deduped on (id, key), then expanded with the
+    triangle-index kernel. ``blk_col`` supplies the emitted
+    ``block_key`` (constant within a run)."""
+    import pyarrow.compute as pc
+    from orchid_fst_ray.functions.runs import run_bounds
+
+    bounds = run_bounds(*[t[c] for c in run_cols])
+    sizes = (bounds[1:] - bounds[:-1]).astype(np.int64)
+    multi = sizes > 1
+    if not multi.any():   # all-singleton block: no row materialization
+        return _PAIR_SCHEMA_EMPTY()
+    sub = t.filter(pa.array(np.repeat(multi, sizes)))
+    sizes2 = sizes[multi]
+    rid = np.repeat(np.arange(len(sizes2), dtype=np.int64), sizes2)
+    st = sub.append_column("_rid", pa.array(rid))
+    idx = pc.sort_indices(st, sort_keys=[
+        ("_rid", "ascending"), (id_col, "ascending"),
+        (key_col, "ascending")]).to_numpy()
+    ids = np.asarray(sub[id_col].to_pylist(), dtype=object)[idx]
+    keys = np.asarray(sub[key_col].to_pylist(), dtype=object)[idx]
+    blks = np.asarray(sub[blk_col].to_pylist(), dtype=object)[idx]
+    rid_s = rid[idx]
+    if dedup:
+        dup = np.zeros(len(ids), dtype=bool)
+        dup[1:] = ((rid_s[1:] == rid_s[:-1]) & (ids[1:] == ids[:-1])
+                   & (keys[1:] == keys[:-1]))
+        kp = ~dup
+        ids, keys, blks, rid_s = ids[kp], keys[kp], blks[kp], rid_s[kp]
+    counts = np.bincount(rid_s, minlength=len(sizes2)).astype(np.int64)
+    rb = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    a_idx, b_idx = _run_triangle_indices(rb)
+    return pa.table({
+        "url_a": pa.array(ids[a_idx], pa.string()),
+        "url_b": pa.array(ids[b_idx], pa.string()),
+        "key_a": pa.array(keys[a_idx], pa.string()),
+        "key_b": pa.array(keys[b_idx], pa.string()),
+        "block_key": pa.array(blks[a_idx], pa.string()),
+        "source": pa.array([source] * len(a_idx), pa.string()),
+    })
+
+
 def _equal_value_pairs(docs_small, block_col: str, eq_col: str,
                        key_col: str, id_col: str, source: str):
     """All (url_a < url_b) pairs of rows sharing (block, eq_col) —
     sort co-locates equal values; each block pairs its runs in one
-    vectorized pass."""
+    vectorized pass (duplicate (id, key) rows collapse first)."""
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        from orchid_fst_ray.functions.runs import run_bounds
-        bounds = run_bounds(t[block_col], t[eq_col])
-        sizes = bounds[1:] - bounds[:-1]
-        if not (sizes > 1).any():   # all-singleton block: no Python scan
-            return _PAIR_SCHEMA_EMPTY()
-        blocks = t[block_col].to_pylist()
-        ids = t[id_col].to_pylist()
-        keys = t[key_col].to_pylist()
-        a, b, ka, kb, blk = [], [], [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s > 1:
-                rows = sorted(set(zip(ids[s:e], keys[s:e])))
-                for i in range(len(rows) - 1):
-                    for j in range(i + 1, len(rows)):
-                        a.append(rows[i][0])
-                        b.append(rows[j][0])
-                        ka.append(rows[i][1])
-                        kb.append(rows[j][1])
-                        blk.append(blocks[s])
-        return pa.table({
-            "url_a": pa.array(a, pa.string()),
-            "url_b": pa.array(b, pa.string()),
-            "key_a": pa.array(ka, pa.string()),
-            "key_b": pa.array(kb, pa.string()),
-            "block_key": pa.array(blk, pa.string()),
-            "source": pa.array([source] * len(a), pa.string()),
-        })
+        return _run_pairs_table(t, [block_col, eq_col], id_col,
+                                key_col, block_col, source, dedup=True)
 
     return (docs_small.sort([block_col, eq_col])
             .map_batches(block_pairs, batch_size=None,
@@ -396,33 +495,8 @@ def generate_url_candidates(docs_ds, id_col: str = "url",
     mostly-singleton urls."""
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        from orchid_fst_ray.functions.runs import run_bounds
-        bounds = run_bounds(t[url_col])
-        sizes = bounds[1:] - bounds[:-1]
-        if not (sizes > 1).any():   # all-singleton block: no Python scan
-            return _PAIR_SCHEMA_EMPTY()
-        urls = t[url_col].to_pylist()
-        ids = t[id_col].to_pylist()
-        keys = t[key_col].to_pylist()
-        a, b, ka, kb, blk = [], [], [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s > 1:
-                rows = sorted(zip(ids[s:e], keys[s:e]))
-                for i in range(len(rows) - 1):
-                    for j in range(i + 1, len(rows)):
-                        a.append(rows[i][0])
-                        b.append(rows[j][0])
-                        ka.append(rows[i][1])
-                        kb.append(rows[j][1])
-                        blk.append(urls[s])
-        return pa.table({
-            "url_a": pa.array(a, pa.string()),
-            "url_b": pa.array(b, pa.string()),
-            "key_a": pa.array(ka, pa.string()),
-            "key_b": pa.array(kb, pa.string()),
-            "block_key": pa.array(blk, pa.string()),
-            "source": pa.array(["url"] * len(a), pa.string()),
-        })
+        return _run_pairs_table(t, [url_col], id_col, key_col,
+                                url_col, "url", dedup=False)
 
     return (docs_ds
             .select_columns([id_col, key_col, url_col])
