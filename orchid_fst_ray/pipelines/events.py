@@ -16,6 +16,15 @@ __all__ = ["tumbling_window_stats", "sessionize",
            "asof_join_prior", "range_join_window", "top_k_per_user"]
 
 
+def _i64(col, dtype="int64"):
+    """Zero-copy-where-possible int pull: combine chunks then
+    ``to_numpy`` (the ``to_pylist`` → ``np.asarray`` round-trip boxes
+    every value through Python objects)."""
+    import numpy as np
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
 def top_k_per_user(events_ds, k: int = 3, user_col: str = "user_id",
                    val_col: str = "value", id_col: str = "event_id"):
     """→ (user_id, event_id, value, rank): each user's top-``k`` events
@@ -89,9 +98,8 @@ def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
     def cut(t: pa.Table) -> pa.Table:
-        users = np.asarray(t[user_col].to_pylist(), dtype=np.int64)
-        tsv = np.asarray(t[ts_col].cast(pa.int64()).to_pylist(),
-                         dtype=np.int64)
+        users = _i64(t[user_col])
+        tsv = _i64(t[ts_col].cast(pa.int64()))
         n = len(users)
         if n == 0:
             return pa.table({
@@ -162,10 +170,10 @@ def asof_join_prior(events_ds, left_type: str, right_type: str,
     both = tag(events_ds, 0).union(tag(events_ds, 1))
 
     def merge(t: pa.Table) -> pa.Table:
-        users = np.asarray(t[user_col].to_pylist(), dtype=np.int64)
-        tsv = np.asarray(t["_tsv"].to_pylist(), dtype=np.int64)
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        kind = np.asarray(t["_kind"].to_pylist(), dtype=np.int8)
+        users = _i64(t[user_col])
+        tsv = _i64(t["_tsv"])
+        ids = _i64(t[id_col])
+        kind = _i64(t["_kind"], dtype="int8")
         # order by (user, ts, kind) — kind ascending puts LEFT before
         # RIGHT on ts ties, so an equal-ts right is never visible to a
         # left (prior = strictly earlier, like DuckDB's ASOF l.ts>r.ts)
@@ -232,10 +240,10 @@ def range_join_window(events_ds, left_type: str, right_type: str,
     both = tag(events_ds, 0).union(tag(events_ds, 1))
 
     def merge(t: pa.Table) -> pa.Table:
-        users = np.asarray(t[user_col].to_pylist(), dtype=np.int64)
-        tsv = np.asarray(t["_tsv"].to_pylist(), dtype=np.int64)
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        kind = np.asarray(t["_kind"].to_pylist(), dtype=np.int8)
+        users = _i64(t[user_col])
+        tsv = _i64(t["_tsv"])
+        ids = _i64(t[id_col])
+        kind = _i64(t["_kind"], dtype="int8")
         n = len(users)
         if n == 0:
             return pa.table({"event_id": pa.array([], pa.int64()),
