@@ -32,6 +32,24 @@ __all__ = ["LevenshteinAutomaton", "DamerauLevenshteinAutomaton",
 
 _MISSING = object()
 
+# Process-global banded-step caches (the practical core of the
+# Schulz-Mihov "universal" Levenshtein automaton): the banded DP step
+# is QUERY-INDEPENDENT once the query's influence is reduced to (a)
+# the characteristic bit-vector of "does the input char equal the
+# query char at band position k" and (b) two small boundary codes
+# (distance from the key start / end when within d of either). Keyed
+# that way, one process-wide dict serves every probe of every query —
+# fresh per-probe automatons skip the O(width) cell loop almost
+# entirely after warm-up, which is the dominant cost when each of
+# millions of self-join probes builds its own DFA.
+_STEP_CACHE_LEV: dict = {}
+_STEP_CACHE_DL: dict = {}
+_STEP_CACHE_MAX = 4_000_000   # bound worker-lifetime growth
+
+
+def _shift_mask(mask: int, shift: int, wmask: int) -> int:
+    return ((mask >> shift) if shift >= 0 else (mask << -shift)) & wmask
+
 
 class LevenshteinAutomaton:
     """DFA accepting strings within edit distance ``d`` of ``query``.
@@ -57,6 +75,12 @@ class LevenshteinAutomaton:
         self._class_of = classes
         self._class_of_cp = {ord(ch): c for ch, c in classes.items()}
         self._qclass = tuple(classes[ch] for ch in query)
+        # per-class position bitmask: bit p set iff query[p] is class c
+        masks = [0] * len(classes)
+        for p, c in enumerate(self._qclass):
+            masks[c] |= 1 << p
+        self._mask_of_cls = masks
+        self._wmask = (1 << (2 * d + 1)) - 1
         self._cap = d + 1
         self._width = 2 * d + 1
         cap, n = self._cap, self.n
@@ -129,10 +153,32 @@ class LevenshteinAutomaton:
     # -- core banded DP step ------------------------------------------------
 
     def _step(self, state, cls):
+        """One DFA transition. The new band is a pure function of
+        (d, boundary codes, band, characteristic bits) — looked up in
+        the process-global cache, falling back to the cell loop."""
         i, band = state
+        d, n = self.d, self.n
+        i2 = i + 1
+        left = i2 if i2 <= d else -1          # j <= 0 cells in window
+        rem = n - i2
+        # interior code is d (NOT -1: rem itself can be -1 when the
+        # input has run past the query's end)
+        right = rem if rem < d else d         # j > n cells in window
+        mask = self._mask_of_cls[cls] if cls >= 0 else 0
+        bits = _shift_mask(mask, i2 - d - 1, self._wmask)
+        key = (d, left, right, band, bits)
+        nb = _STEP_CACHE_LEV.get(key, _MISSING)
+        if nb is _MISSING:
+            nb = self._step_cells(i2, band, cls)
+            if len(_STEP_CACHE_LEV) < _STEP_CACHE_MAX:
+                _STEP_CACHE_LEV[key] = nb
+        return None if nb is None else (i2, nb)
+
+    def _step_cells(self, i2: int, band, cls):
+        """Ground-truth banded DP cell loop → new band tuple or None
+        (dead)."""
         d, cap, n, qc = self.d, self._cap, self.n, self._qclass
         width = self._width
-        i2 = i + 1
         new = []
         prev_new = cap
         base = i2 - d              # j of new[0]
@@ -159,7 +205,7 @@ class LevenshteinAutomaton:
         t = tuple(new)
         if min(t) > self.d:
             return None  # dead state: no continuation can match
-        return (i2, t)
+        return t
 
 
 class DamerauLevenshteinAutomaton(LevenshteinAutomaton):
@@ -180,10 +226,34 @@ class DamerauLevenshteinAutomaton(LevenshteinAutomaton):
         self._trans_cp = [{}]
 
     def _step(self, state, cls):
+        """DL transition via the global cache: the transposition term
+        adds the previous band and a second characteristic vector
+        (input ...prev,ch matching query ...ch,prev) to the key."""
         i, band, prev_band, prev_cls = state
+        d, n = self.d, self.n
+        i2 = i + 1
+        left = i2 if i2 <= d else -1
+        rem = n - i2
+        right = rem if rem < d else d   # d = interior (rem can be -1)
+        maskc = self._mask_of_cls[cls] if cls >= 0 else 0
+        bits = _shift_mask(maskc, i2 - d - 1, self._wmask)
+        maskp = (self._mask_of_cls[prev_cls]
+                 if prev_cls is not None and prev_cls >= 0 else 0)
+        # tr bit k ⇔ cls == qc[j-2] AND prev_cls == qc[j-1], j = i2-d+k
+        tr_bits = (_shift_mask(maskc, i2 - d - 2, self._wmask)
+                   & _shift_mask(maskp, i2 - d - 1, self._wmask))
+        key = (d, left, right, band,
+               prev_band, bits, tr_bits)
+        nb = _STEP_CACHE_DL.get(key, _MISSING)
+        if nb is _MISSING:
+            nb = self._step_cells_dl(i2, band, prev_band, prev_cls, cls)
+            if len(_STEP_CACHE_DL) < _STEP_CACHE_MAX:
+                _STEP_CACHE_DL[key] = nb
+        return None if nb is None else (i2, nb, band, cls)
+
+    def _step_cells_dl(self, i2, band, prev_band, prev_cls, cls):
         d, cap, n, qc = self.d, self._cap, self.n, self._qclass
         width = self._width
-        i2 = i + 1
         new = []
         prev_new = cap
         base = i2 - d
@@ -215,7 +285,7 @@ class DamerauLevenshteinAutomaton(LevenshteinAutomaton):
             new.append(v)
             prev_new = v
         t = tuple(new)
-        return None if min(t) > self.d else (i2, t, band, cls)
+        return None if min(t) > self.d else t
 
 
 # ---------------------------------------------------------------- plain DPs
