@@ -140,3 +140,33 @@ def test_banded_states_exhaustive_small_alphabet():
             expd = {w for w in words
                     if damerau_levenshtein_osa(q, w) <= d}
             assert gotd == expd, ("dl", d, q)
+
+
+def test_step_cache_cross_query_differential():
+    """The banded-step result is served from a PROCESS-GLOBAL cache
+    keyed by (d, boundary codes, band, characteristic bits) — shared
+    across every query in the worker (levenshtein.py `_STEP_CACHE_*`).
+    A key collision between two different queries would silently
+    corrupt accepts, so stress exactly that: thousands of short random
+    queries interleaved in one process, each string checked against
+    the brute DP. (The `rem == -1` interior-sentinel collision fixed in
+    round 3 is the class of bug this pins.)"""
+    rnd = random.Random(1234)
+    alpha = "abc"
+    for trial in range(1500):
+        d = rnd.randint(1, 3)
+        q = "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 6)))
+        s = "".join(rnd.choice(alpha + "d")
+                    for _ in range(rnd.randint(0, 8)))
+        for aut, dist in (
+            (LevenshteinAutomaton(q, d), levenshtein(q, s)),
+            (DamerauLevenshteinAutomaton(q, d),
+             damerau_levenshtein_osa(q, s)),
+        ):
+            st = aut.start()
+            for ch in s:
+                if st is None:
+                    break
+                st = aut.accept(st, ch)
+            got = st is not None and aut.is_match(st)
+            assert got == (dist <= d), (type(aut).__name__, q, s, d, dist)
