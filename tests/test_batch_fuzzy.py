@@ -1,0 +1,101 @@
+"""Differential tests: the level-synchronous batched fuzzy prober
+(fst/batch_fuzzy.py) must match the scalar ``Fst.search`` ×
+``fuzzy_automaton`` product exactly — match sets, self-join pair
+sets, and the max-pairs-per-key budget semantics."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from orchid_fst_ray.fst import FstBuilder, fuzzy_automaton
+from orchid_fst_ray.fst.batch_fuzzy import (batch_fuzzy_matches,
+                                            batch_self_join_pairs)
+
+
+def _fst(keys):
+    b = FstBuilder(has_output=True)
+    b.insert_many(keys, list(range(len(keys))))
+    return b.finish()
+
+
+def _scalar_matches(fst, q, d, damerau):
+    return {v for _, v in fst.search(fuzzy_automaton(q, d, 0, damerau))}
+
+
+def test_batch_matches_randomized_vs_scalar():
+    rnd = random.Random(5)
+    for trial in range(25):
+        keys = sorted({"".join(rnd.choice("abcd")
+                               for _ in range(rnd.randint(0, 8)))
+                       for _ in range(rnd.randint(1, 150))})
+        fst = _fst(keys)
+        queries = ["".join(rnd.choice("abcde")
+                           for _ in range(rnd.randint(0, 10)))
+                   for _ in range(rnd.randint(1, 40))]
+        for d in (1, 2, 3):
+            for dl in (False, True):
+                qi, mv = batch_fuzzy_matches(fst, queries, d, dl)
+                got: dict[int, set] = {}
+                for a, v in zip(qi.tolist(), mv.tolist()):
+                    got.setdefault(a, set()).add(v)
+                for i, q in enumerate(queries):
+                    assert got.get(i, set()) == _scalar_matches(
+                        fst, q, d, dl), (trial, d, dl, q)
+
+
+def test_batch_matches_edge_cases():
+    # empty key in the dict, empty query, CJK, d=0
+    keys = sorted({"", "a", "ab", "中国", "中图", "国中", "abc", "b"})
+    fst = _fst(keys)
+    queries = ["", "a", "中", "中国", "zz", "abcd"]
+    for d in (0, 1, 2, 3):
+        for dl in (False, True):
+            qi, mv = batch_fuzzy_matches(fst, queries, d, dl)
+            got: dict[int, set] = {}
+            for a, v in zip(qi.tolist(), mv.tolist()):
+                got.setdefault(a, set()).add(v)
+            for i, q in enumerate(queries):
+                assert got.get(i, set()) == _scalar_matches(
+                    fst, q, d, dl), (d, dl, q)
+
+
+def test_self_join_budget_parity():
+    """batch_self_join_pairs == the per-key probe loop including the
+    first-N-in-search-order budget truncation."""
+    rnd = random.Random(11)
+    for trial in range(15):
+        keys = sorted({"".join(rnd.choice("abc")
+                               for _ in range(rnd.randint(0, 7)))
+                       for _ in range(rnd.randint(2, 300))})
+        fst = _fst(keys)
+        for d in (1, 2):
+            for dl in (False, True):
+                for budget in (2, 64):
+                    I, J = [], []
+                    for idx, k in enumerate(keys):
+                        bud = budget
+                        for _, midx in fst.search(
+                                fuzzy_automaton(k, d, 0, dl)):
+                            if midx <= idx:
+                                continue
+                            I.append(idx)
+                            J.append(midx)
+                            bud -= 1
+                            if bud <= 0:
+                                break
+                    qi, mv = batch_self_join_pairs(fst, keys, d, dl,
+                                                   budget)
+                    assert (sorted(zip(qi.tolist(), mv.tolist()))
+                            == sorted(zip(I, J))), (trial, d, dl,
+                                                    budget)
+
+
+def test_empty_inputs():
+    fst = _fst(["abc"])
+    qi, mv = batch_fuzzy_matches(fst, [], 2, False)
+    assert len(qi) == 0 and len(mv) == 0
+    qi, mv = batch_self_join_pairs(_fst(["a", "b"]), ["a", "b"], 0,
+                                   False, 64)
+    assert len(qi) == 0
