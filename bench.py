@@ -90,16 +90,25 @@ def run_scale_bench(n_pages: int = 100_000) -> dict:
     from orchid_fst_ray.pipelines.fixtures import pages_dataset
     pages = pages_dataset(n_pages, seed=42,
                           parallelism=NUM_CPUS).materialize()
+    # headline run STREAMING (stages overlap, the production config);
+    # second run with stage barriers only to attribute wall per stage
     t0 = time.time()
     res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
                  scorer_concurrency=(2, max(2, NUM_CPUS // 4)),
-                 cluster_driver_threshold=0, stage_metrics=True)
+                 cluster_driver_threshold=0)
     n = res["assignment"].count()
     wall = time.time() - t0
+    t0 = time.time()
+    res_m = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
+                   scorer_concurrency=(2, max(2, NUM_CPUS // 4)),
+                   cluster_driver_threshold=0, stage_metrics=True)
+    res_m["assignment"].count()
+    wall_b = time.time() - t0
     return {"n_pages": n_pages, "cc_path": "distributed_bsp",
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(n / wall, 1),
-            "stages": res["metrics"]["stages"]}
+            "wall_sec_with_barriers": round(wall_b, 2),
+            "stages": res_m["metrics"]["stages"]}
 
 
 def run_cc_stress(n_edges: int = 10_000_000) -> dict:

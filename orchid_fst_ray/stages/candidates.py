@@ -285,20 +285,27 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             max_pairs_per_key: int = 64,
                             probe_concurrency=None,
                             url_col: str | None = None,
-                            same_prefix_len: int = 0):
-    """Mega-block fuzzy candidates: per hot block build ONE set-FST over
-    its distinct keys (one task per block), broadcast the FST dict via
-    ``ray.put``, then probe (block, key) rows in a parallel actor pool
-    (per-batch deduped; cross-batch repeats collapse in the downstream
-    pair dedup) — url pairs expand IN the actors from a broadcast
-    key→ids map that rides with the FSTs (ids per key ~1-3, so the map
-    is the same order of size as the blob; this replaces two whole
-    sort-merge joins and their sorts).
-    A probe emits only matches ``mk > k`` (FST insertion order is
-    sorted, so lexicographic order == index order) — each key pair
-    exactly once, mirroring BlockCandidates' symmetric self-join.
-    Same-key and same-norm-url url pairs come from one range-partition
-    sort + vectorized block pass each (no per-group tasks).
+                            same_prefix_len: int = 0,
+                            shard_rows: int = 4096):
+    """Mega-block fuzzy candidates: per hot block build SHARDED FSTs
+    over its distinct keys — shard = stable hash(key) mod
+    ceil(rows / shard_rows), so one mega-host never serializes its
+    whole index build into a single task (build work per task is
+    bounded by ``shard_rows`` no matter how hot the block gets) —
+    broadcast the shard dict via ``ray.put``, then probe (block, key)
+    rows in a parallel actor pool (per-batch deduped; cross-batch
+    repeats collapse in the downstream pair dedup). A probe runs
+    against every shard of its block and merges; url pairs expand IN
+    the actors from a broadcast key→ids map that rides with the FSTs
+    (ids per key ~1-3, so the map is the same order of size as the
+    blob; this replaces two whole sort-merge joins and their sorts).
+    A probe emits only matches ``mk > k`` — each key pair exactly
+    once, mirroring BlockCandidates' symmetric self-join; the
+    max-pairs budget takes the ``max_pairs_per_key`` smallest matched
+    keys across shards (== first-N-in-search-order on an unsharded
+    FST). Same-key and same-norm-url url pairs come from one
+    range-partition sort + vectorized block pass each (no per-group
+    tasks).
     """
     import ray
     from orchid_fst_ray.functions.blocks import compact_nonempty
@@ -322,6 +329,23 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                           (id_col, pa.string())]
                          + ([(url_col, pa.string())] if url_col else [])))
 
+    # shard assignment: same key → same shard (ids maps stay whole);
+    # shard count scales with block size so FST-build work per task is
+    # bounded by ~shard_rows however hot the block is
+    from ray.data.aggregate import Count
+    shard_counts = {
+        r[block_col]: max(1, -(-int(r["n"]) // shard_rows))
+        for r in (docs_small.groupby(block_col)
+                  .aggregate(Count(alias_name="n")).take_all())}
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        from zlib import crc32
+        blocks = t[block_col].to_pylist()
+        keys_l = t[key_col].to_pylist()
+        shard = [crc32(k.encode()) % shard_counts.get(blk, 1)
+                 for blk, k in zip(blocks, keys_l)]
+        return t.append_column("shard", pa.array(shard, pa.int32()))
+
     def build(g: pd.DataFrame) -> pd.DataFrame:
         import pickle
         by_key: dict[str, list] = {}
@@ -342,12 +366,16 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                                          for k, v in by_key.items()}))]})
 
     fst_rows = (docs_small.select_columns([block_col, key_col, id_col])
-                .groupby(block_col)
+                .map_batches(add_shard, batch_format="pyarrow")
+                .groupby([block_col, "shard"])
                 .map_groups(build, batch_format="pandas"))
     rows = fst_rows.take_all()
-    fsts = {r[block_col]: r["fst"] for r in rows}
+    fsts: dict[str, list] = {}
+    idmaps: dict[str, list] = {}
+    for r in rows:
+        fsts.setdefault(r[block_col], []).append(r["fst"])
+        idmaps.setdefault(r[block_col], []).append(r["ids"])
     import pickle
-    idmaps = {r[block_col]: r["ids"] for r in rows}
     ref = ray.put(fsts)
     ids_ref = ray.put(idmaps)
 
@@ -356,16 +384,21 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                      same_prefix_len=0):
             import pickle
             from orchid_fst_ray.fst import Fst
-            self.fsts = {k: Fst.from_bytes(v)
-                         for k, v in ray.get(fst_ref).items()}
-            self.keys = {}
-            self.ids = {}
-            for blk, v in ray.get(ids_ref).items():
-                keys, by_key = pickle.loads(v)
-                self.keys[blk] = keys
-                self.ids[blk] = by_key
-            self.key_rank = {blk: {k: i for i, k in enumerate(ks)}
-                             for blk, ks in self.keys.items()}
+            # blk → [(fst, shard_keys), ...] ; ids maps merge across
+            # shards (same key always hashes to the same shard, so
+            # shard key sets are disjoint)
+            fst_blobs = ray.get(fst_ref)
+            self.shards: dict[str, list] = {}
+            self.ids: dict[str, dict] = {}
+            for blk, id_blobs in ray.get(ids_ref).items():
+                shard_list = []
+                merged: dict[str, list] = {}
+                for fb, ib in zip(fst_blobs[blk], id_blobs):
+                    keys, by_key = pickle.loads(ib)
+                    shard_list.append((Fst.from_bytes(fb), keys))
+                    merged.update(by_key)
+                self.shards[blk] = shard_list
+                self.ids[blk] = merged
             self.d = d
             self.damerau = damerau
             self.cap = cap
@@ -384,7 +417,7 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                 blocks.append(blk)
 
             # batch-local distinct probes, grouped per block so the
-            # batched prober runs once per (block, probe-key set)
+            # batched prober runs once per (block, shard)
             probes: dict[str, list[str]] = {}
             seen = set()
             for blk, k in zip(t[block_col].to_pylist(),
@@ -393,52 +426,42 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                     seen.add((blk, k))
                     probes.setdefault(blk, []).append(k)
             for blk, pkeys in probes.items():
-                fst = self.fsts[blk]
                 by_key = self.ids[blk]
-                keys = self.keys[blk]
-                rank = self.key_rank[blk]
-                if self.same_prefix_len == 0:
-                    # vectorized: all probe keys of the block walk the
-                    # FST together; pair-for-pair equal to the scalar
-                    # loop (mk > k filter == midx > rank[k]; cap =
-                    # smallest-midx first, the search-order semantics)
-                    qi, mv = batch_fuzzy_matches(
-                        fst, pkeys, self.d, self.damerau)
-                    self_idx = np.fromiter(
-                        (rank[k] for k in pkeys), np.int64, len(pkeys))
-                    m = mv > self_idx[qi]
-                    qi, mv = qi[m], mv[m]
-                    if len(qi):
-                        order = np.lexsort((mv, qi))
-                        qi, mv = qi[order], mv[order]
-                        bnd = np.concatenate(
-                            ([0], np.flatnonzero(np.diff(qi)) + 1,
-                             [len(qi)]))
-                        rk = (np.arange(len(qi))
-                              - np.repeat(bnd[:-1], np.diff(bnd)))
-                        keep = rk < self.cap
-                        qi, mv = qi[keep], mv[keep]
-                    for q, mi in zip(qi.tolist(), mv.tolist()):
-                        k, mk = pkeys[q], keys[mi]
-                        for ia in by_key[k]:
+                # matched keys per probe key, merged across shards
+                per_q: dict[int, list] = {}
+                for fst, skeys in self.shards[blk]:
+                    if self.same_prefix_len == 0:
+                        # vectorized: all probe keys walk this shard's
+                        # FST together (pair-for-pair equal to the
+                        # scalar loop)
+                        qi, mv = batch_fuzzy_matches(
+                            fst, pkeys, self.d, self.damerau)
+                        for q, mi in zip(qi.tolist(), mv.tolist()):
+                            mk = skeys[mi]
+                            if mk > pkeys[q]:
+                                per_q.setdefault(q, []).append(mk)
+                    else:
+                        for q, k in enumerate(pkeys):
+                            aut = fuzzy_automaton(
+                                k, self.d, self.same_prefix_len,
+                                self.damerau)
+                            budget = self.cap
+                            for mk, _ in fst.search(aut):
+                                if mk <= k:
+                                    continue
+                                per_q.setdefault(q, []).append(mk)
+                                budget -= 1
+                                if budget <= 0:
+                                    break
+                # budget ACROSS shards: the cap smallest matched keys
+                # == first-cap-in-search-order on an unsharded FST
+                for q, mks in per_q.items():
+                    k = pkeys[q]
+                    my_ids = by_key[k]
+                    for mk in sorted(mks)[:self.cap]:
+                        for ia in my_ids:
                             for ib in by_key[mk]:
                                 emit(blk, ia, ib, k, mk)
-                else:
-                    for k in pkeys:
-                        my_ids = by_key[k]
-                        aut = fuzzy_automaton(k, self.d,
-                                              self.same_prefix_len,
-                                              self.damerau)
-                        budget = self.cap
-                        for mk, _ in fst.search(aut):
-                            if mk <= k:
-                                continue  # symmetric, each pair once
-                            for ia in my_ids:
-                                for ib in by_key[mk]:
-                                    emit(blk, ia, ib, k, mk)
-                            budget -= 1
-                            if budget <= 0:
-                                break
                 # exact-duplicate keys: ids sharing a key (repeat
                 # probes across batches collapse in dedupe_pairs)
                 for k in pkeys:
