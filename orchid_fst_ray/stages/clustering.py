@@ -44,7 +44,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Min
 
 from orchid_fst_ray.functions.blocks import compact_nonempty
 
@@ -124,16 +123,29 @@ def connected_components(edges_ds, node_a: str = "url_a",
     if n_edges <= driver_threshold:
         return _driver_components(edges, seeds)
 
-    labels = _bsp_components(edges, max(2, num_partitions), max_iters)
+    n = max(2, num_partitions)
+    label_refs = _bsp_components(edges, n, max_iters)
 
     # Seeds that never appear in an edge are singletons and cannot
     # change label, so they skip the loop entirely and merge back in
-    # one final aggregate: the loop scales with |edges|, not |docs|.
+    # ONE routed task wave: the BSP's label buckets are already
+    # hash-partitioned by node, so seeds are split with the same hash
+    # and min-merged per bucket — no Dataset groupby shuffle.
     if seeds is not None:
-        merged = (labels.union(seeds).groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .map_batches(_cast_labels, batch_format="pyarrow"))
-        labels = compact_nonempty(merged, schema=_LABEL_SCHEMA)
+        import ray
+
+        route = ray.remote(_route_seeds_task)
+        merge = ray.remote(_merge_seed_bucket_task)
+        seed_refs = [ref for bundle in
+                     seeds.materialize().iter_internal_ref_bundles()
+                     for ref, meta in bundle.blocks if meta.num_rows]
+        routed = [route.options(num_returns=n).remote(ref, n)
+                  for ref in seed_refs]
+        if routed:
+            label_refs = [
+                merge.remote(label_refs[k], *[r[k] for r in routed])
+                for k in range(n)]
+    labels = rd.from_arrow_refs(label_refs)
     return labels.map_batches(_rename_out, batch_format="pyarrow")
 
 
@@ -212,6 +224,23 @@ def _reduce_wave_task(old_labels: pa.Table, n: int, *msg_parts: pa.Table):
     return [new, changed] + _split_by_bucket(jump_edges, "src", n)
 
 
+def _route_seeds_task(t: pa.Table, n: int) -> list[pa.Table]:
+    return _split_by_bucket(_cast_labels(t), "node", n)
+
+
+def _merge_seed_bucket_task(labels: pa.Table, *seed_parts: pa.Table):
+    """Min label per node over (BSP bucket labels ∪ same-bucket
+    seeds): edge nodes keep their component label (always ≤ the
+    seed's self-label), seed-only nodes become singletons."""
+    allr = _concat_task(_LABEL_SCHEMA, labels, *seed_parts)
+    if allr.num_rows == 0:
+        return _empty(_LABEL_SCHEMA)
+    agg = pa.TableGroupBy(allr, "node").aggregate([("label", "min")])
+    return pa.table({
+        "node": agg["node"].combine_chunks().cast(pa.string()),
+        "label": agg["label_min"].combine_chunks().cast(pa.string())})
+
+
 def _bsp_components(edges_ds, n: int, max_iters: int):
     import ray
     import ray.data as rd
@@ -252,7 +281,7 @@ def _bsp_components(edges_ds, n: int, max_iters: int):
             f"fixpoint within max_iters={max_iters}; labels may split "
             f"components. Raise max_iters (graph diameter > "
             f"2^{max_iters}).", RuntimeWarning)
-    return rd.from_arrow_refs(labels)
+    return labels        # per-bucket refs, hash-partitioned by node
 
 
 # --------------------------------------------------------- small helpers
