@@ -199,7 +199,12 @@ def main() -> None:
     ray.shutdown()
 
 
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "100000"))
+# 250k: after the round-3 kernel speedups (batched fuzzy prober,
+# step-cached DFAs) the 100k fixture became overhead-dominated at 32
+# CPUs and measured efficiency stopped reflecting pipeline
+# scalability — the same reason round 2 moved this knob from 22.5k to
+# 100k. The workload must keep 32 CPUs compute-bound.
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "250000"))
 
 
 def _scaling_child(num_cpus: int) -> None:
