@@ -150,7 +150,8 @@ def _start_band(d: int, n: int) -> tuple:
                  for j in range(-d, d + 1))
 
 
-def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False):
+def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
+                        return_keys: bool = False):
     """All fuzzy matches of every query against ``fst``.
 
     Returns ``(qidx, value)`` int64 arrays: row t means dictionary
@@ -158,6 +159,14 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False):
     Levenshtein distance ``d`` of ``queries[qidx[t]]``.  Equivalent to
     ``fst.search(fuzzy_automaton(q, d, 0, damerau))`` per query (the
     FST must have outputs; values are whatever the FST maps keys to).
+
+    ``return_keys=True`` additionally returns the matched KEY STRINGS
+    (third element, a list aligned with the arrays): the traversal
+    records a per-level (parent row, arc char) history and matched
+    keys are rebuilt by walking it backwards — cost O(matches x
+    depth), the same string assembly the scalar DFS pays per yield.
+    The dictionary search paths need this (their result schema carries
+    the key column); the ER self-join skips it.
     """
     sp = _space(d)
     width = sp.width
@@ -171,7 +180,7 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False):
     K = len(queries)
     if K == 0 or len(final) == 0:
         z = np.empty(0, np.int64)
-        return z, z.copy()
+        return (z, z.copy(), []) if return_keys else (z, z.copy())
     qlen = np.fromiter((len(q) for q in queries), np.int64, K)
     maxlen = int(qlen.max()) if K else 0
     # padded query-char matrix; pad = -2 so neither arc labels (>= 0)
@@ -184,6 +193,9 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False):
 
     out_q: list[np.ndarray] = []
     out_v: list[np.ndarray] = []
+    # per-level (parent rows, arc chars) + per-emit (level, rows)
+    hist: list[tuple] = [()]           # index 0 unused (root level)
+    emits: list[tuple] = []
 
     # start states (band0 varies only for queries shorter than d)
     bid0 = np.empty(K, np.int64)
@@ -198,6 +210,7 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False):
             out_q.append(np.flatnonzero(m0).astype(np.int64))
             out_v.append(np.full(int(m0.sum()), int(final_out[root]),
                                  np.int64))
+            emits.append((0, None))    # depth-0 match: key is ""
 
     node = np.full(K, root, np.int64)
     qidx = np.arange(K, dtype=np.int64)
@@ -215,11 +228,17 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False):
         cnt = starts[node + 1] - starts[node]
         nz = cnt > 0
         if not nz.all():
-            node, qidx, band, total, cnt = (
-                node[nz], qidx[nz], band[nz], total[nz], cnt[nz])
-            if damerau:
-                prev_band, prev_cp = prev_band[nz], prev_cp[nz]
-        if not len(node):
+            if return_keys and nz.any():
+                # frontier rows must stay stable per level — the
+                # (parent, char) history indexes them; zero-arc rows
+                # contribute nothing to np.repeat anyway
+                pass
+            else:
+                node, qidx, band, total, cnt = (
+                    node[nz], qidx[nz], band[nz], total[nz], cnt[nz])
+                if damerau:
+                    prev_band, prev_cp = prev_band[nz], prev_cp[nz]
+        if not len(node) or not nz.any():
             break
         rep = np.repeat(np.arange(len(node)), cnt)
         off = np.arange(len(rep)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
@@ -298,16 +317,37 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False):
             if hit.any():
                 out_q.append(qr[hit])
                 out_v.append(tot[hit] + final_out[dest[hit]])
+                if return_keys:
+                    emits.append((i2, np.flatnonzero(hit)))
         # ---- next frontier; DL carries the band we stepped FROM and
         # the char just consumed (rep indexes the OLD frontier arrays)
+        if return_keys:
+            hist.append((rep, cp))
         if damerau:
             prev_band = band[rep]
             prev_cp = cp
         node, qidx, band, total = dest, qr, nb_arr, tot
-    if out_q:
+    if not out_q:
+        z = np.empty(0, np.int64)
+        return (z, z.copy(), []) if return_keys else (z, z.copy())
+    if not return_keys:
         return np.concatenate(out_q), np.concatenate(out_v)
-    z = np.empty(0, np.int64)
-    return z, z.copy()
+    # rebuild matched key strings by walking the (parent, char)
+    # history backwards from each emit level
+    keys_out: list[str] = []
+    for (lev, rows), qa in zip(emits, out_q):
+        if lev == 0:
+            keys_out.extend([""] * len(qa))
+            continue
+        cols = [None] * lev
+        r = rows
+        for lv in range(lev, 0, -1):
+            par, ch = hist[lv]
+            cols[lv - 1] = ch[r]
+            r = par[r]
+        mat = np.stack(cols, axis=1)
+        keys_out.extend("".join(map(chr, row)) for row in mat.tolist())
+    return np.concatenate(out_q), np.concatenate(out_v), keys_out
 
 
 def batch_self_join_pairs(fst, keys, d: int, damerau: bool = False,

@@ -211,11 +211,25 @@ class FstSearcherPool:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from orchid_fst_ray.fst import fuzzy_automaton
+        from orchid_fst_ray.fst.batch_fuzzy import batch_fuzzy_matches
         p = self.params
         out_q: list[str] = []
         out_k: list[str] = []
         out_v: list[int] = []
-        for q in batch["query"].to_pylist():
+        queries = batch["query"].to_pylist()
+        if self.kind == "fuzzy" and not p.get("same_prefix_len", 0):
+            # prefix-less fuzzy can't range-prune; run the whole query
+            # batch through each partition FST level-synchronously
+            for lo, hi, fst in self.fsts:
+                self.probes += len(queries)
+                qi, mv, mk = batch_fuzzy_matches(
+                    fst, queries, p.get("d", 2), p.get("damerau", False),
+                    return_keys=True)
+                out_q.extend(queries[i] for i in qi.tolist())
+                out_k.extend(mk)
+                out_v.extend(mv.tolist())
+            return self._result(out_q, out_k, out_v)
+        for q in queries:
             if self.kind == "fuzzy":
                 aut = fuzzy_automaton(q, p.get("d", 2),
                                       p.get("same_prefix_len", 0),
@@ -235,6 +249,9 @@ class FstSearcherPool:
                     out_q.append(q)
                     out_k.append(k)
                     out_v.append(v)
+        return self._result(out_q, out_k, out_v)
+
+    def _result(self, out_q, out_k, out_v) -> pa.Table:
         cols = {"query": pa.array(out_q, pa.large_string()),
                 "key": pa.array(out_k, pa.large_string())}
         if self.has_output:
@@ -362,12 +379,28 @@ def _search_many_sharded(index_ds, queries_ds, kind: str,
             blobs = t["fst"].to_pylist()
             aut_cache: dict[str, Any] = {}
             bounds = run_bounds(t["part"])
+            batched = (kind == "fuzzy"
+                       and not params.get("same_prefix_len", 0))
             for s, e in zip(bounds[:-1], bounds[1:]):
                 blob = next((blobs[i] for i in range(s, e)
                              if blobs[i] is not None), None)
                 if blob is None:
                     continue
                 fst = Fst.from_bytes(blob)
+                if batched:
+                    # all co-located queries of this partition walk
+                    # the blob level-synchronously
+                    from orchid_fst_ray.fst.batch_fuzzy import (
+                        batch_fuzzy_matches)
+                    grp = [queries[i] for i in range(s, e)
+                           if queries[i] is not None]
+                    qi, mv, mk = batch_fuzzy_matches(
+                        fst, grp, params.get("d", 2),
+                        params.get("damerau", False), return_keys=True)
+                    out_q.extend(grp[i] for i in qi.tolist())
+                    out_k.extend(mk)
+                    out_v.extend(mv.tolist())
+                    continue
                 for i in range(s, e):
                     q = queries[i]
                     if q is None:

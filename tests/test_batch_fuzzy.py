@@ -99,3 +99,31 @@ def test_empty_inputs():
     qi, mv = batch_self_join_pairs(_fst(["a", "b"]), ["a", "b"], 0,
                                    False, 64)
     assert len(qi) == 0
+
+
+def test_return_keys_matches_scalar_search():
+    """return_keys=True must reproduce the scalar search's (key,
+    value) pairs exactly — including arbitrary (non-rank) output
+    values, which exercise the builder's output redistribution."""
+    rnd = random.Random(21)
+    for trial in range(12):
+        keys = sorted({"".join(rnd.choice("abcd")
+                               for _ in range(rnd.randint(0, 8)))
+                       for _ in range(rnd.randint(1, 150))})
+        vals = [rnd.randint(0, 10 ** 6) for _ in keys]
+        b = FstBuilder(has_output=True)
+        b.insert_many(keys, vals)
+        fst = b.finish()
+        queries = ["".join(rnd.choice("abcde")
+                           for _ in range(rnd.randint(0, 10)))
+                   for _ in range(rnd.randint(1, 30))]
+        for d in (1, 2):
+            for dl in (False, True):
+                qi, mv, mk = batch_fuzzy_matches(fst, queries, d, dl,
+                                                 return_keys=True)
+                got: dict[int, set] = {}
+                for a, v, k in zip(qi.tolist(), mv.tolist(), mk):
+                    got.setdefault(a, set()).add((k, v))
+                for i, q in enumerate(queries):
+                    exp = set(fst.search(fuzzy_automaton(q, d, 0, dl)))
+                    assert got.get(i, set()) == exp, (trial, d, dl, q)
