@@ -149,27 +149,48 @@ def run_cc_stress(n_edges: int = 10_000_000) -> dict:
             "edges_per_sec": round(n_edges / wall, 1)}
 
 
+def _fresh_session() -> None:
+    """Restart the Ray session between bench sections: queries run
+    back-to-back in one session age 1.5-2x by the tail of the sweep
+    (object-store/session buildup), so each family starts clean and
+    pays its own warmed-up cost only."""
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    _init_ray(NUM_CPUS)
+    _warmup()
+
+
+# per-family groups: a fresh Ray session per group keeps session-age
+# noise out of the recorded wall times (warmup is excluded per group)
+_QUERY_GROUPS = [
+    ["dict_items", "dict_fuzzy_lev", "dict_fuzzy_batch", "dict_union",
+     "sort_lines"],
+    ["dedup_exact", "dedup_minhash", "dedup_simhash",
+     "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_lsh",
+     "ann_topk"],
+    ["token_stats", "quality_stats", "lang_id", "doc_fingerprints",
+     "events_window", "events_sessions", "lineitem_summary",
+     "orders_per_priority"],
+    ["multimodal_image_features", "multimodal_audio_frames"],
+]
+
+
 def run_query_benches(sf_dir: str) -> dict[str, float]:
     """Per-family wall times over the bench-scale tables."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as e
     qs = e.queries()
-    names = ["dict_items", "dict_fuzzy_lev", "dict_fuzzy_batch",
-             "dict_union", "sort_lines", "dedup_exact",
-             "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-             "dedup_embedding", "dedup_embedding_lsh",
-             "ann_topk", "token_stats", "quality_stats", "lang_id",
-             "doc_fingerprints", "events_window", "events_sessions",
-             "lineitem_summary", "orders_per_priority",
-             "multimodal_image_features", "multimodal_audio_frames"]
     out: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        # consume the stream (count() executes the full pipeline)
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.time() - t0, 3)
+    for group in _QUERY_GROUPS:
+        _fresh_session()
+        for name in group:
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            # consume the stream (count() executes the full pipeline)
+            if hasattr(res, "count"):
+                res.count()
+            out[name] = round(time.time() - t0, 3)
     return out
 
 
@@ -178,6 +199,7 @@ def main() -> None:
     er_wall, n, quality = run_er_bench(SF_DIR)
     queries = {"er_end_to_end": round(er_wall, 3)}
     queries.update(run_query_benches(SF_DIR))
+    _fresh_session()
     scale = run_scale_bench()
     out = {
         "metric": "er_docs_per_sec",
@@ -192,7 +214,9 @@ def main() -> None:
     }
     # heavier scale-trend points (skippable while iterating locally)
     if not os.environ.get("GRAFT_BENCH_FAST"):
+        _fresh_session()
         out["scale_250k"] = run_scale_bench(250_000)
+        _fresh_session()
         out["cc_stress_10m"] = run_cc_stress()
     print(json.dumps(out))
     import ray
