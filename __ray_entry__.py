@@ -162,6 +162,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  query=_FUZZY_QUERY, d=2,
                                  damerau=True).sort("key")
 
+    def dict_fuzzy_selfjoin(sf_dir: str):
+        """Edit-distance SELF-join of the dictionary keys: every key
+        probes the distributed index (broadcast FstSearcherPool →
+        level-synchronous batched prober, fst/batch_fuzzy.py); each
+        unordered pair reported once via key > query. The blocking
+        primitive of the ER candidates stage, behind an exact SQL
+        oracle."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from orchid_fst_ray.stages.dictionary import (
+            build_dictionary, search_dictionary_many)
+        keys = _part_kv(sf_dir).select_columns(["key"])
+        idx = build_dictionary(keys, key_col="key", value_col=None)
+        hits = search_dictionary_many(
+            idx, keys.map_batches(
+                lambda t: pa.table(
+                    {"query": t["key"].cast(pa.large_string())}),
+                batch_format="pyarrow"),
+            kind="fuzzy", has_output=False, d=1, damerau=False,
+            concurrency=(1, 4))
+        return hits.map_batches(
+            lambda t: t.filter(pc.greater(t["key"], t["query"])),
+            batch_format="pyarrow").sort(["query", "key"])
+
     def _setop_sides(sf_dir: str):
         import ray.data as rd
         from ray.data.aggregate import Max, Min
@@ -441,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_fuzzy_lev": dict_fuzzy_lev,
         "dict_fuzzy_prefixlen": dict_fuzzy_prefixlen,
         "dict_fuzzy_batch": dict_fuzzy_batch,
+        "dict_fuzzy_selfjoin": dict_fuzzy_selfjoin,
         "dict_fuzzy_damerau": dict_fuzzy_damerau,
         "dict_union": dict_union_q,
         "dict_intersect": dict_intersect_q,
@@ -549,6 +574,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT p_name AS key FROM part "
             f"WHERE damerau_levenshtein(p_name, '{_FUZZY_QUERY}') <= 2 "
             "ORDER BY key"),
+        "dict_fuzzy_selfjoin": """
+            WITH k AS (SELECT DISTINCT p_name AS key FROM part)
+            SELECT a.key AS query, b.key AS key
+            FROM k a JOIN k b
+              ON b.key > a.key AND levenshtein(a.key, b.key) <= 1
+            ORDER BY query, key""",
         "dict_union": """
             WITH l AS (SELECT p_name AS key, max(p_partkey) AS value
                        FROM part WHERE p_name < 'm' GROUP BY p_name),
