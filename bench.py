@@ -216,8 +216,18 @@ def main() -> None:
     if not os.environ.get("GRAFT_BENCH_FAST"):
         _fresh_session()
         out["scale_250k"] = run_scale_bench(250_000)
-        _fresh_session()
-        out["cc_stress_10m"] = run_cc_stress()
+        # the CC stress runs in its own PROCESS: even with a fresh
+        # ray session, a long-lived bench process measured it ~3x
+        # slower (47 s standalone vs 152 s in-process) — driver-heap
+        # state survives ray.shutdown, so isolate it like --scaling
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--cc-stress-child"],
+            capture_output=True, text=True,
+            env=dict(os.environ), timeout=3600)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        out["cc_stress_10m"] = (json.loads(line[-1]) if line
+                                else {"error": p.stderr[-500:]})
     print(json.dumps(out))
     import ray
     ray.shutdown()
@@ -306,5 +316,11 @@ if __name__ == "__main__":
         _scaling_child(NUM_CPUS)
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--cc-stress-child" in sys.argv:
+        _init_ray(NUM_CPUS)
+        _warmup()
+        print(json.dumps(run_cc_stress()))
+        import ray
+        ray.shutdown()
     else:
         main()
