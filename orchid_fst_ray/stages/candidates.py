@@ -80,8 +80,11 @@ def _expand_cross(counts: np.ndarray, offsets: np.ndarray,
 
 
 class BlockCandidates:
-    """map_groups callable: one blocking-key group in (pandas), candidate
-    pairs out. Stateless per group; FST + DFA built per block."""
+    """map_groups callable: one blocking-key group in (Arrow table),
+    candidate pairs out. Stateless per group; FST built per block,
+    probed by the batched level-synchronous prober. Arrow-native:
+    group sorts run in pyarrow C++ (the pandas sort/indexing path was
+    ~25% of the stage once the probe kernel was vectorized)."""
 
     def __init__(self, d: int = 2, damerau: bool = False,
                  same_prefix_len: int = 0,
@@ -98,18 +101,19 @@ class BlockCandidates:
         self.max_pairs_per_key = max_pairs_per_key
         self.url_col = url_col
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         key_col, id_col = self.key_col, self.id_col
-        block = g[self.block_col].iloc[0] if len(g) else ""
-        n = len(g)
+        n = g.num_rows
         if n == 0:
             return _PAIR_SCHEMA_EMPTY()
+        block = g[self.block_col][0].as_py()
         # CSR over distinct keys: rows sorted by (key, id); the sorted
         # distinct keys double as the FST build order
-        g2 = g[[id_col, key_col]].sort_values(
-            [key_col, id_col], kind="mergesort")
-        idf = g2[id_col].to_numpy(dtype=object)
-        kf = g2[key_col].to_numpy(dtype=object)
+        order = pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                              (id_col, "ascending")])
+        idf = g[id_col].take(order).to_numpy(zero_copy_only=False)
+        kf = g[key_col].take(order).to_numpy(zero_copy_only=False)
         change = np.flatnonzero(kf[1:] != kf[:-1]) + 1
         bounds = np.concatenate(([0], change, [n])).astype(np.int64)
         keys = kf[bounds[:-1]]
@@ -176,11 +180,14 @@ class BlockCandidates:
         # (norm_url starts with the host, so they always co-group) —
         # saves a whole extra sort over the docs table
         if self.url_col is not None:
-            g3 = g[[self.url_col, id_col, key_col]].sort_values(
-                [self.url_col, id_col, key_col], kind="mergesort")
-            uf = g3[self.url_col].to_numpy(dtype=object)
-            uidf = g3[id_col].to_numpy(dtype=object)
-            ukf = g3[key_col].to_numpy(dtype=object)
+            uorder = pc.sort_indices(
+                g, sort_keys=[(self.url_col, "ascending"),
+                              (id_col, "ascending"),
+                              (key_col, "ascending")])
+            uf = g[self.url_col].take(uorder).to_numpy(
+                zero_copy_only=False)
+            uidf = g[id_col].take(uorder).to_numpy(zero_copy_only=False)
+            ukf = g[key_col].take(uorder).to_numpy(zero_copy_only=False)
             uchange = np.flatnonzero(uf[1:] != uf[:-1]) + 1
             ubounds = np.concatenate(([0], uchange, [n])).astype(np.int64)
             if ((ubounds[1:] - ubounds[:-1]) > 1).any():
@@ -256,7 +263,7 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
 
     if not hot_blocks:
         return (slim.groupby(block_col)
-                .map_groups(block_candidates, batch_format="pandas"))
+                .map_groups(block_candidates, batch_format="pyarrow"))
 
     hot_set = set(hot_blocks)
 
@@ -270,7 +277,7 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
 
     normal = (slim.map_batches(split(False), batch_format="pyarrow")
               .groupby(block_col)
-              .map_groups(block_candidates, batch_format="pandas"))
+              .map_groups(block_candidates, batch_format="pyarrow"))
     hot = generate_hot_candidates(
         slim.map_batches(split(True), batch_format="pyarrow"),
         d=d, damerau=damerau, key_col=key_col, id_col=id_col,
