@@ -58,8 +58,17 @@ class FstBuilder:
     """
 
     def __init__(self, has_output: bool = True,
-                 max_registry_size: int | None = None) -> None:
+                 max_registry_size: int | None = None,
+                 minimal: bool = True) -> None:
+        """``minimal=False`` skips the frozen-node dedup entirely: the
+        result is a TRIE-shaped FST accepting the same language with
+        the same outputs, just without suffix sharing. Right for
+        build-probe-discard uses (the ER candidates self-join) where
+        the signature+registry work (~40% of build time) buys nothing;
+        keep the default for any FST that is stored, shipped, or
+        dumped to the reference byte format."""
         self.has_output = has_output
+        self._minimal = minimal
         self._root = _Node()
         self._path: list[_Node] = [self._root]  # path[i] = node after i chars of last key
         self._last_key: str | None = None
@@ -170,6 +179,14 @@ class FstBuilder:
             parent.children[-1] = fid
 
     def _freeze_node(self, node: _Node) -> int:
+        if not self._minimal:
+            fid = len(self._f_final)
+            self._f_labels.append(node.labels)
+            self._f_outputs.append(node.outputs)
+            self._f_dests.append(node.children)  # type: ignore[arg-type]
+            self._f_final.append(node.is_final)
+            self._f_final_out.append(node.final_output)
+            return fid
         # children are already frozen ints at this point
         sig = (node.is_final, node.final_output,
                tuple(node.labels), tuple(node.outputs),

@@ -127,3 +127,26 @@ def test_return_keys_matches_scalar_search():
                 for i, q in enumerate(queries):
                     exp = set(fst.search(fuzzy_automaton(q, d, 0, dl)))
                     assert got.get(i, set()) == exp, (trial, d, dl, q)
+
+
+def test_nonminimal_builder_equivalence():
+    """FstBuilder(minimal=False) must accept the same language with
+    the same outputs as the minimal build (it only skips suffix
+    sharing) — items() and fuzzy self-join pairs identical."""
+    rnd = random.Random(3)
+    for trial in range(8):
+        keys = sorted({"".join(rnd.choice("abc")
+                               for _ in range(rnd.randint(0, 7)))
+                       for _ in range(rnd.randint(2, 200))})
+        b1 = FstBuilder(has_output=True)
+        b1.insert_many(keys, list(range(len(keys))))
+        b2 = FstBuilder(has_output=True, minimal=False)
+        b2.insert_many(keys, list(range(len(keys))))
+        f1, f2 = b1.finish(), b2.finish()
+        assert list(f1.items()) == list(f2.items())
+        assert f2.n_nodes >= f1.n_nodes   # trie >= minimal DAG
+        for d in (1, 2):
+            a = batch_self_join_pairs(f1, keys, d, True, 64)
+            c = batch_self_join_pairs(f2, keys, d, True, 64)
+            assert (sorted(zip(a[0].tolist(), a[1].tolist()))
+                    == sorted(zip(c[0].tolist(), c[1].tolist())))
