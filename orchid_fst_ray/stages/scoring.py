@@ -114,11 +114,13 @@ def _append_float(batch: pa.Table, cols: dict) -> pa.Table:
 
 
 def _jaro(a: str, b: str) -> float:
-    if a == b:
-        return 1.0
     la, lb = len(a), len(b)
     if not la or not lb:
+        # DuckDB's jaro_similarity scores ""/"" as 0.0 (no matches),
+        # not 1.0 — mirror it so hybrid batches stay consistent
         return 0.0
+    if a == b:
+        return 1.0
     window = max(la, lb) // 2 - 1
     window = max(window, 0)
     match_a = [False] * la
@@ -147,8 +149,22 @@ def _jaro(a: str, b: str) -> float:
     return (matches / la + matches / lb + (matches - t) / matches) / 3
 
 
-def _jaro_winkler(a: str, b: str, p: float = 0.1) -> float:
+def _jaro_winkler(a: str, b: str, p: float = 0.1,
+                  boost_threshold: float = 0.7) -> float:
+    """Classic Winkler: the common-prefix boost applies only when the
+    Jaro similarity clears ``boost_threshold`` (0.7, Winkler 1990) —
+    the same rule DuckDB's ``jaro_winkler_similarity`` implements, so
+    the non-ASCII fallback rows score consistently with the ASCII rows
+    that the DuckDB path handles.
+
+    .. versionchanged:: round 3
+       Previously the boost was applied unconditionally, so a CJK pair
+       with jaro <= 0.7 scored slightly higher than an equivalent
+       ASCII pair. Matches are unaffected (true pairs sit well above
+       the threshold); low-similarity junk pairs now score lower."""
     j = _jaro(a, b)
+    if j <= boost_threshold:
+        return j
     pre = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca != cb:

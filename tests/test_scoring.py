@@ -66,6 +66,33 @@ def test_cjk_similarities_char_level_and_bounded():
     assert es[2] == 0.5          # 1 char of 2 differs
 
 
+def test_jaro_winkler_matches_duckdb():
+    """The Python fallback (used for non-ASCII rows) must score exactly
+    like DuckDB's jaro_winkler_similarity (used for ASCII rows) — same
+    0.7 boost threshold, same empty-string handling — or hybrid batches
+    rank pairs inconsistently."""
+    import random
+
+    import duckdb
+
+    from orchid_fst_ray.stages.scoring import _jaro_winkler
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    pairs = [("", ""), ("", "a"), ("abc", "abc"), ("ab", "ba"),
+             ("abcdz", "abcdq"),              # prefix boost fires
+             ("azzzz", "aqqqq")]              # jaro <= 0.7: no boost
+    pairs += [("".join(rng.choices(alpha, k=rng.randint(0, 9))),
+               "".join(rng.choices(alpha, k=rng.randint(0, 9))))
+              for _ in range(300)]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(_jaro_winkler(a, b) - want) < 1e-12, (a, b)
+    con.close()
+
+
 def test_score_threshold_gates_outer_ring(ray_session):
     """With max_char_dist=1 (the run_er default at d=2) a LOW-score
     distance-2 pair is dropped while a high-score distance-2 pair
