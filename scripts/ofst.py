@@ -167,7 +167,13 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     for name, has_out in (("map", True), ("set", False)):
-        p = sub.add_parser(name)
+        p = sub.add_parser(
+            name,
+            description=f"Build an FST {name} file in the reference byte "
+            "format. Interop limit: the format stores a node's transition "
+            "count in one byte, so a node with more than 255 arcs (binary "
+            "keys spanning all byte values) is rejected with an error "
+            "rather than silently truncated like the reference does.")
         p.add_argument("-f", "--dict-file", required=True)
         p.add_argument("-o", "--fst-file", required=True)
         p.add_argument("-c", "--cache-size", type=int, default=1000)
