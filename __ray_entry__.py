@@ -528,6 +528,76 @@ _STOPS_DE_SQL = ("['der','die','das','und','ist','ein','eine','nicht',"
                  "'mit','von','zu','den','dem','sich']")
 
 
+def _fingerprint_sql() -> str:
+    """Exact SQL replica of ``stable_fingerprint`` (functions/text.py):
+    winnowing over Karp-Rabin polynomial k-gram hashes mod 2**64, all
+    arithmetic in HUGEINT with explicit ``% 2**64`` (the near-2**64
+    mix constants are split into 32-bit halves so no product exceeds
+    INT128). The constants are imported from the engine so the two
+    sides share one spec."""
+    from orchid_fst_ray.functions.text import _FNV_OFFSET, _FNV_PRIME
+
+    m = "18446744073709551616::HUGEINT"
+    b = f"{int(_FNV_PRIME)}::HUGEINT"          # < 2**41: h*b fits INT128
+    off = f"{int(_FNV_OFFSET)}::HUGEINT"
+
+    def mulmod(x: str, k: int) -> str:
+        hi, lo = k >> 32, k & 0xFFFFFFFF
+        return (f"((({x}) * {lo}::HUGEINT) % {m} + "
+                f"(((({x}) * {hi}::HUGEINT) % {m}) * 4294967296::HUGEINT)"
+                f" % {m}) % {m}")
+
+    # hash64_pairs (functions/hashing.py): h = a*K1; h ^= rotl17(b);
+    # h *= K2; h ^= h >> 29 — all mod 2**64.
+    rot = f"((b * 131072::HUGEINT) % {m} + b // 140737488355328::HUGEINT)"
+    x = (f"xor(({mulmod('a', 0x9E3779B97F4A7C15)})::UBIGINT, "
+         f"({rot})::UBIGINT)::HUGEINT")
+    q = mulmod(x, 0xC2B2AE3D27D4EB4F)
+    mix = (f"xor(({q})::UBIGINT, "
+           f"(({q}) // 536870912::HUGEINT)::UBIGINT)::HUGEINT")
+
+    return f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+            th AS (
+              SELECT doc_id, list_transform(ts, t ->
+                list_reduce(
+                  list_prepend({off},
+                    list_transform(generate_series(1, length(t)),
+                                   i -> ascii(t[i])::HUGEINT)),
+                  (h, c) -> (h * {b} + c) % {m})) AS hs
+              FROM tok),
+            gh AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) = 0 THEN []::HUGEINT[]
+                     WHEN len(hs) < 3 THEN
+                       [list_reduce(list_prepend(0::HUGEINT, hs),
+                                    (g, h) -> (g * {b} + h) % {m})]
+                     ELSE list_transform(generate_series(1, len(hs) - 2),
+                       i -> (((hs[i] * {b} + hs[i+1]) % {m}) * {b}
+                             + hs[i+2]) % {m})
+                END AS gs
+              FROM th),
+            mins AS (
+              SELECT doc_id,
+                CASE WHEN len(gs) = 0 THEN []::HUGEINT[]
+                     WHEN len(gs) <= 8 THEN [list_min(gs)]
+                     ELSE list_transform(generate_series(1, len(gs) - 7),
+                                         j -> list_min(gs[j:j+7]))
+                END AS ms
+              FROM gh)
+            SELECT doc_id,
+              CASE WHEN len(ms) = 0 THEN 0::UBIGINT
+                   ELSE list_reduce(
+                          list_prepend(0::HUGEINT,
+                                       list_sort(list_distinct(ms))),
+                          (a, b) -> {mix})::UBIGINT
+              END AS fingerprint
+            FROM mins ORDER BY doc_id"""
+
+
 def _pii_sql() -> str:
     """PII-count oracle sharing the engine's RE2 patterns verbatim
     (DuckDB standard strings don't process backslash escapes, so the
@@ -831,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de >= fr THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM h ORDER BY doc_id""",
+        "doc_fingerprints": _fingerprint_sql(),
         "pii_scan": _PII_SQL,
         "term_frequencies": """
             WITH toks AS (

@@ -95,23 +95,81 @@ def doc_keys_from_text(texts: pa.ChunkedArray | pa.Array,
         pc.utf8_trim_whitespace(joined), pattern=r"  +", replacement=" ")
 
 
+# Fingerprint tokenizer: word runs only (same tokenization the ngram-
+# Jaccard SQL oracle uses, so the two oracles share one spec).
+FP_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# FNV-64 offset/prime: the k-gram hash is the classic Karp-Rabin
+# polynomial mod 2**64 the winnowing paper assumes (Schleimer et al.,
+# SIGMOD'03 §3) — chosen over siphash so a SQL oracle can recompute it
+# exactly (DuckDB HUGEINT arithmetic mod 2**64, see __ray_entry__
+# ``doc_fingerprints`` oracle).
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _poly_token_hashes(tokens: list[str]) -> np.ndarray:
+    """Polynomial hash of each ASCII token, vectorized over the UNIQUE
+    tokens: h = fold(h*FNV_PRIME + codepoint) from FNV offset. Tokens
+    come from FP_TOKEN_RE so every codepoint is one uint32 lane of the
+    numpy '<U' view (no surrogates, no padding collisions — tokens
+    never contain NUL)."""
+    arr = np.asarray(tokens)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    width = uniq.dtype.itemsize // 4
+    codes = uniq.view(np.uint32).reshape(len(uniq), width).astype(np.uint64)
+    h = np.full(len(uniq), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            c = codes[:, j]
+            live = c != 0
+            h[live] = h[live] * _FNV_PRIME + c[live]
+    return h[inv]
+
+
 def stable_fingerprint(texts, window: int = 8, k: int = 3) -> np.ndarray:
-    """Winnowing-style rolling-hash document fingerprint: hash k-token
-    shingles (position-sensitive, like winnowing's k-grams), take the
-    min hash over each sliding window, combine the selected mins into
-    one uint64. Equal fingerprints ⇒ near-identical token streams."""
-    from orchid_fst_ray.functions.hashing import hash64, hash64_pairs
+    """Winnowing-style rolling-hash document fingerprint: polynomial-
+    hash k-token grams (position-sensitive, like winnowing's k-grams),
+    take the min hash over each sliding window, mix the distinct
+    selected mins into one uint64. Equal fingerprints ⇒ near-identical
+    token streams.
+
+    Every step is exactly reproducible in ANSI SQL (the driver's
+    DuckDB oracle recomputes it value-for-value): tokens are
+    ``[a-z0-9]+`` runs of the lowercased text, token hashes are
+    FNV-style polynomials mod 2**64, a k-gram hash folds its k token
+    hashes with the same polynomial (init 0; documents shorter than
+    ``k`` tokens fold ALL their tokens into one gram), and the final
+    mix is :func:`~orchid_fst_ray.functions.hashing.hash64_pairs` over
+    the ascending distinct window minima. Empty documents → 0.
+
+    .. versionchanged:: round 3
+       The k-gram hash moved from ``pd.util.hash_array`` (siphash —
+       not SQL-expressible) to the polynomial above, and tokenization
+       from WORD_RE (punctuation tokens) to word runs; fingerprint
+       VALUES changed, semantics (winnowing near-dup signature) did
+       not."""
+    from orchid_fst_ray.functions.hashing import hash64_pairs
     out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = [m.group(0) for m in WORD_RE.finditer((t or "").lower())]
+    doc_tokens = [FP_TOKEN_RE.findall((t or "").lower()) for t in texts]
+    flat = [tok for toks in doc_tokens for tok in toks]
+    if not flat:
+        return out
+    flat_hashes = _poly_token_hashes(flat)
+    offsets = np.cumsum([0] + [len(t) for t in doc_tokens])
+    for i, toks in enumerate(doc_tokens):
         if not toks:
             continue
-        grams = token_shingles(toks, k)
-        th = hash64(grams)
-        if len(th) <= window:
-            mins = np.array([th.min()], dtype=np.uint64)
+        th = flat_hashes[offsets[i]:offsets[i + 1]]
+        with np.errstate(over="ignore"):
+            n_grams = max(len(th) - k + 1, 1)
+            gh = np.zeros(n_grams, dtype=np.uint64)
+            for j in range(min(k, len(th))):
+                gh = gh * _FNV_PRIME + th[j:j + n_grams]
+        if len(gh) <= window:
+            mins = np.array([gh.min()], dtype=np.uint64)
         else:
-            sw = np.lib.stride_tricks.sliding_window_view(th, window)
+            sw = np.lib.stride_tricks.sliding_window_view(gh, window)
             mins = sw.min(axis=1)
         acc = np.uint64(0)
         for m in np.unique(mins):

@@ -208,6 +208,32 @@ def test_lang_id_en_zh(ray_session):
     assert acc >= 0.99, acc
 
 
+def test_fingerprint_matches_sql_oracle():
+    """stable_fingerprint must equal the DuckDB HUGEINT-arithmetic
+    replica in __ray_entry__ value-for-value — edge cases included
+    (empty / None / <k tokens / <=window grams / punctuation-only)."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from orchid_fst_ray.functions.text import stable_fingerprint
+
+    texts = ["The quick brown fox jumps over the lazy dog again and again",
+             "the quick brown fox jumps over the lazy dog again and again!",
+             "completely different content with many words to fill space",
+             "", None, "ab", "one two", "x", "!!! --- ???",
+             "a b c d e f g h i j k l m n o p",
+             "Zebra! 42 cafe-cafe cafe; mixed CASE Words repeated twice"]
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    got = dict(con.execute(entry._fingerprint_sql()).fetchall())
+    con.close()
+    want = stable_fingerprint(texts)
+    for i, w in enumerate(want):
+        assert int(got[i]) == int(w), (i, texts[i])
+
+
 def test_fingerprints_deterministic_and_discriminative(
         ray_session, docs_ds, docs_table):
     a = textstats.doc_fingerprints(docs_ds).to_pandas().sort_values("doc_id")
