@@ -34,7 +34,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["batch_fuzzy_matches", "batch_self_join_pairs"]
+__all__ = ["batch_fuzzy_matches", "batch_self_join_pairs",
+           "MAX_BATCH_D"]
 
 # ------------------------------------------------------------------
 # Global band interner + step tables, one space per (d, damerau).
@@ -44,6 +45,9 @@ __all__ = ["batch_fuzzy_matches", "batch_self_join_pairs"]
 
 _MAX_TABLE = 4_000_000
 _MAX_BANDS = 1 << 20          # prev_band_id pack width for the DL key
+# widest distance the 7-bit characteristic-window packing supports
+# (width = 2d+1 <= 7); callers fall back to the scalar DFS above it
+MAX_BATCH_D = 3
 
 
 class _BandSpace:
@@ -167,7 +171,18 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
     depth), the same string assembly the scalar DFS pays per yield.
     The dictionary search paths need this (their result schema carries
     the key column); the ER self-join skips it.
+
+    ``d`` must be <= MAX_BATCH_D (3): the packed step key reserves 7
+    bits for the characteristic window (width = 2d+1). Callers route
+    bigger distances to the scalar DFS (before this guard, d=4 batched
+    silently returned wrong results — the bits field overflowed into
+    the transposition field).
     """
+    if d > MAX_BATCH_D:
+        raise ValueError(
+            f"batch_fuzzy_matches supports d <= {MAX_BATCH_D} "
+            f"(got {d}): the packed step key holds a 7-bit window; "
+            f"use the scalar Fst.search(fuzzy_automaton(...)) path")
     sp = _space(d)
     width = sp.width
     starts = fst.starts.astype(np.int64, copy=False)
@@ -185,11 +200,13 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
     maxlen = int(qlen.max()) if K else 0
     # padded query-char matrix; pad = -2 so neither arc labels (>= 0)
     # nor the "no previous char" sentinel (-1) ever match padding
-    qchar = np.full((K, max(maxlen, 1)), -2, np.int64)
+    qstride = max(maxlen, 1)
+    qchar = np.full((K, qstride), -2, np.int64)
     for qi, q in enumerate(queries):
         if q:
             qchar[qi, :len(q)] = np.frombuffer(
                 q.encode("utf-32-le"), np.uint32).astype(np.int64)
+    qflat = qchar.ravel()
 
     out_q: list[np.ndarray] = []
     out_v: list[np.ndarray] = []
@@ -245,22 +262,38 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
         ai = starts[node][rep] + off
         cp = arc_label[ai]
         qr = qidx[rep]
-        # ---- characteristic bits over the band window
-        bits = np.zeros(len(rep), np.int64)
+        # ---- characteristic bits over the band window: flat-raveled
+        # 1D gathers (measurably faster than row fancy-indexing or a
+        # 2D window gather), one gather + one ==cp compare per window
+        # column, SHARED between the Levenshtein bits and the Damerau
+        # transposition test (tr bit k = (query[p-1] == ch) — the
+        # k-1 compare — AND (query[p] == prev char))
         base_p = i2 - d - 1          # query position of window slot 0
-        for k in range(width):
-            p = base_p + k
+        fb = qr * qstride
+        cols: list = [None] * (width + 1)
+        eqs: list = [None] * (width + 1)
+        for k in range(width + 1):   # window slots -1 .. width-1
+            p = base_p - 1 + k
             if 0 <= p < maxlen:
-                bits |= (qchar[qr, p] == cp).astype(np.int64) << k
+                c = qflat[fb + p]
+                cols[k] = c
+                eqs[k] = c == cp
+        # accumulate in uint8 (bool views shift in place; width <= 7
+        # keeps every bit inside a byte) — one widening astype per
+        # level instead of one per window column
+        bits8 = np.zeros(len(rep), np.uint8)
+        for k in range(width):
+            if eqs[k + 1] is not None:
+                bits8 |= eqs[k + 1].view(np.uint8) << np.uint8(k)
+        bits = bits8.astype(np.int64)
         if damerau:
             pcp = prev_cp[rep]
-            tr = np.zeros(len(rep), np.int64)
+            tr8 = np.zeros(len(rep), np.uint8)
             for k in range(width):
-                p1 = base_p + k - 1    # j-2: query char vs current ch
-                p2 = base_p + k        # j-1: query char vs previous ch
-                if 0 <= p1 and p2 < maxlen:
-                    tr |= ((qchar[qr, p1] == cp)
-                           & (qchar[qr, p2] == pcp)).astype(np.int64) << k
+                if eqs[k] is not None and cols[k + 1] is not None:
+                    tr8 |= ((eqs[k] & (cols[k + 1] == pcp))
+                            .view(np.uint8) << np.uint8(k))
+            tr = tr8.astype(np.int64)
         # ---- packed step key
         rem = qlen[qr] - i2
         right = np.minimum(rem, d)
@@ -275,7 +308,10 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
             key |= band[rep] << 40
         else:
             key |= band[rep] << 20
-        uk, inv = np.unique(key, return_inverse=True)
+        # hash-based factorize beats np.unique's argsort (the table
+        # lookup needs dedup, not sorted order)
+        import pandas as pd
+        inv, uk = pd.factorize(key)
         res = np.empty(len(uk), np.int64)
         for ui in range(len(uk)):
             kk = int(uk[ui])

@@ -29,7 +29,8 @@ import pandas as pd
 import pyarrow as pa
 
 from orchid_fst_ray.fst import FstBuilder, fuzzy_automaton
-from orchid_fst_ray.fst.batch_fuzzy import (batch_fuzzy_matches,
+from orchid_fst_ray.fst.batch_fuzzy import (MAX_BATCH_D,
+                                            batch_fuzzy_matches,
                                             batch_self_join_pairs)
 
 __all__ = ["BlockCandidates", "generate_candidates",
@@ -133,7 +134,7 @@ class BlockCandidates:
             b = FstBuilder(has_output=True, minimal=False)
             b.insert_many(list(keys), list(range(len(keys))))
             fst = b.finish()
-            if self.same_prefix_len == 0:
+            if self.same_prefix_len == 0 and self.d <= MAX_BATCH_D:
                 # level-synchronous vectorized probe: all keys walk
                 # the FST together (fst/batch_fuzzy.py; pair-for-pair
                 # identical to the scalar loop below, ~4x faster)
@@ -440,7 +441,7 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                 # matched keys per probe key, merged across shards
                 per_q: dict[int, list] = {}
                 for fst, skeys in self.shards[blk]:
-                    if self.same_prefix_len == 0:
+                    if self.same_prefix_len == 0 and self.d <= MAX_BATCH_D:
                         # vectorized: all probe keys walk this shard's
                         # FST together (pair-for-pair equal to the
                         # scalar loop)

@@ -217,7 +217,9 @@ class FstSearcherPool:
         out_k: list[str] = []
         out_v: list[int] = []
         queries = batch["query"].to_pylist()
-        if self.kind == "fuzzy" and not p.get("same_prefix_len", 0):
+        from orchid_fst_ray.fst.batch_fuzzy import MAX_BATCH_D
+        if (self.kind == "fuzzy" and not p.get("same_prefix_len", 0)
+                and p.get("d", 2) <= MAX_BATCH_D):
             # prefix-less fuzzy can't range-prune; run the whole query
             # batch through each partition FST level-synchronously
             for lo, hi, fst in self.fsts:
@@ -379,8 +381,10 @@ def _search_many_sharded(index_ds, queries_ds, kind: str,
             blobs = t["fst"].to_pylist()
             aut_cache: dict[str, Any] = {}
             bounds = run_bounds(t["part"])
+            from orchid_fst_ray.fst.batch_fuzzy import MAX_BATCH_D
             batched = (kind == "fuzzy"
-                       and not params.get("same_prefix_len", 0))
+                       and not params.get("same_prefix_len", 0)
+                       and params.get("d", 2) <= MAX_BATCH_D)
             for s, e in zip(bounds[:-1], bounds[1:]):
                 blob = next((blobs[i] for i in range(s, e)
                              if blobs[i] is not None), None)

@@ -150,3 +150,38 @@ def test_nonminimal_builder_equivalence():
             c = batch_self_join_pairs(f2, keys, d, True, 64)
             assert (sorted(zip(a[0].tolist(), a[1].tolist()))
                     == sorted(zip(c[0].tolist(), c[1].tolist())))
+
+
+def test_d4_guard_and_scalar_fallback():
+    """d=4 overflows the 7-bit window packing: the batch kernel must
+    REFUSE (it used to silently return wrong results), and the
+    candidates stage must fall back to the scalar DFS with identical
+    pair semantics."""
+    import pytest
+
+    from orchid_fst_ray.fst.batch_fuzzy import MAX_BATCH_D, batch_fuzzy_matches
+
+    keys = sorted({"abcdefgh", "axcdefgh", "abzdefgh", "qrstuvwx",
+                   "abcd", "zzzzzzzz"})
+    b = FstBuilder(has_output=True)
+    b.insert_many(keys, list(range(len(keys))))
+    fst = b.finish()
+    with pytest.raises(ValueError, match="d <= 3"):
+        batch_fuzzy_matches(fst, ["abcdefgh"], MAX_BATCH_D + 1, False)
+
+    import pyarrow as pa
+
+    from orchid_fst_ray.stages.candidates import BlockCandidates
+    g = pa.table({
+        "url": [f"u{i}" for i in range(len(keys))],
+        "doc_key": keys,
+        "host": ["h"] * len(keys),
+    })
+    out = BlockCandidates(d=4, damerau=False)(g)
+    got = set(zip(out["key_a"].to_pylist(), out["key_b"].to_pylist()))
+    want = set()
+    for i, k in enumerate(keys):
+        for mk, mi in fst.search(fuzzy_automaton(k, 4)):
+            if mi > i:
+                want.add(tuple(sorted((k, mk))))
+    assert {tuple(sorted(p)) for p in got} == want and want
