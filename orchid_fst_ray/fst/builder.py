@@ -27,9 +27,101 @@ Invariants (enforced, mirroring the reference):
 
 from __future__ import annotations
 
+import numpy as np
+
 from orchid_fst_ray.fst.fst import Fst, freeze_to_arrays
 
-__all__ = ["FstBuilder"]
+__all__ = ["FstBuilder", "build_probe_trie"]
+
+
+def build_probe_trie(keys: "np.ndarray") -> Fst:
+    """Vectorized TRIE construction for build-probe-discard self-joins
+    (same accepted language and key->value map as
+    ``FstBuilder(has_output=True, minimal=False)`` over
+    ``values=range(len(keys))``, but built in numpy instead of a
+    per-character Python insert loop — ~10x on ER-sized blocks).
+
+    ``keys`` is a SORTED, DISTINCT numpy ``<U`` array (exactly what
+    ``np.unique`` returns). Outputs skip the reference's transducer
+    redistribution entirely: every arc output is 0 and the key's rank
+    sits whole in its final node — value-for-value identical reads,
+    legal because a probe-only trie is never serialized or merged.
+
+    Construction: the ``<U`` buffer IS the padded codepoint matrix
+    (``view(uint32)``); consecutive-row LCPs locate each key's new
+    suffix, every new trie node is one new arc (child id = arc
+    creation index + 1), and the only sequential part is a K-length
+    loop maintaining the current path's node-per-depth table.
+    """
+    keys = np.asarray(keys)
+    if keys.dtype.kind != "U":          # object arrays from Arrow
+        keys = keys.astype(str)
+    K = len(keys)
+    root_final = bool(K) and keys[0] == ""
+    if K == 0 or (K == 1 and root_final):
+        z = np.zeros(0, np.int64)
+        return Fst(np.zeros(2, np.int64), z.astype(np.int32),
+                   z.astype(np.uint64), z,
+                   np.array([root_final]),
+                   np.zeros(1, np.uint64), 0, True, K)
+    itemwidth = keys.dtype.itemsize // 4
+    M = keys.view(np.uint32).reshape(K, itemwidth)
+    lens = np.char.str_len(keys).astype(np.int64)
+    maxlen = int(lens.max())
+    M = M[:, :maxlen]
+    # lcp[i] = common prefix of keys[i-1], keys[i] (distinct + sorted
+    # guarantee lcp[i] < lens[i]); row-to-row compare on the uint32
+    # lanes — the NUL padding can't collide with real codepoints
+    lcp = np.zeros(K, np.int64)
+    if K > 1:
+        eq = M[1:] == M[:-1]
+        lcp[1:] = np.cumprod(eq, axis=1, dtype=np.int64).sum(axis=1)
+        np.minimum(lcp[1:], np.minimum(lens[1:], lens[:-1]),
+                   out=lcp[1:])
+    arc_cnt = lens - lcp                    # new arcs per key
+    arc_start = np.zeros(K + 1, np.int64)
+    np.cumsum(arc_cnt, out=arc_start[1:])
+    m = int(arc_start[-1])                  # total arcs == nodes - 1
+
+    # labels: for key i, its new suffix chars M[i, lcp_i:lens_i]
+    owner = np.repeat(np.arange(K, dtype=np.int64), arc_cnt)
+    depth = (np.arange(m, dtype=np.int64) - arc_start[owner]
+             + lcp[owner])
+    label = M[owner, depth].astype(np.int32)
+
+    # parents: a non-first arc hangs off the previous arc's child
+    # (child id = arc index + 1); a key's FIRST arc hangs off the
+    # current path's node at depth lcp_i — tracked by the one
+    # sequential pass below (O(K) python, numpy slices inside)
+    parent = np.arange(m, dtype=np.int64)   # non-first arcs: t -> t
+    node_at = np.zeros(maxlen + 1, np.int64)
+    first_parent = np.empty(K, np.int64)
+    for i in range(K):
+        p = lcp[i]
+        first_parent[i] = node_at[p]
+        li = lens[i]
+        if li > p:
+            node_at[p + 1:li + 1] = np.arange(
+                arc_start[i] + 1, arc_start[i + 1] + 1)
+    nonempty = lens > 0
+    parent[arc_start[:-1][nonempty]] = first_parent[nonempty]
+
+    # CSR grouped by parent; stable order keeps labels ascending per
+    # node (keys sorted => branches appear in label order)
+    order = np.argsort(parent, kind="stable")
+    counts = np.bincount(parent, minlength=m + 1)
+    starts = np.zeros(m + 2, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    final = np.zeros(m + 1, np.bool_)
+    final_out = np.zeros(m + 1, np.uint64)
+    last_node = arc_start[1:]               # child of key i's last arc
+    final[last_node[nonempty]] = True
+    final_out[last_node[nonempty]] = np.arange(K)[nonempty]
+    if root_final:
+        final[0] = True                     # "" sorts first: rank 0
+    return Fst(starts, label[order], np.zeros(m, np.uint64),
+               (np.arange(m, dtype=np.int64) + 1)[order],
+               final, final_out, 0, True, K)
 
 
 class _Node:

@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 
 from orchid_fst_ray.fst import FstBuilder, fuzzy_automaton
+from orchid_fst_ray.fst.builder import build_probe_trie
 from orchid_fst_ray.fst.batch_fuzzy import (MAX_BATCH_D,
                                             batch_fuzzy_matches,
                                             batch_self_join_pairs)
@@ -128,12 +129,11 @@ class BlockCandidates:
         src_parts: list[str] = []
 
         if len(keys) > 1:
-            # build-probe-discard: skip node minimization (same
-            # language/outputs, ~40% less build time); shipped FSTs
-            # (hot path, dictionaries) stay minimal
-            b = FstBuilder(has_output=True, minimal=False)
-            b.insert_many(list(keys), list(range(len(keys))))
-            fst = b.finish()
+            # build-probe-discard: vectorized trie construction (same
+            # language and key->rank map as the minimal builder, ~20x
+            # less build time); shipped FSTs (hot path, dictionaries)
+            # stay minimal
+            fst = build_probe_trie(keys)
             if self.same_prefix_len == 0 and self.d <= MAX_BATCH_D:
                 # level-synchronous vectorized probe: all keys walk
                 # the FST together (fst/batch_fuzzy.py; pair-for-pair

@@ -185,3 +185,35 @@ def test_d4_guard_and_scalar_fallback():
             if mi > i:
                 want.add(tuple(sorted((k, mk))))
     assert {tuple(sorted(p)) for p in got} == want and want
+
+
+def test_build_probe_trie_equivalence():
+    """build_probe_trie must accept the same language with the same
+    key->rank map as FstBuilder(minimal=False) over values=range(K):
+    items(), scalar fuzzy DFS, and batched self-join pairs identical —
+    including empty keys, prefix keys and non-ASCII alphabets."""
+    import numpy as np
+
+    from orchid_fst_ray.fst.builder import build_probe_trie
+
+    rnd = random.Random(11)
+    for trial in range(15):
+        alpha = rnd.choice(["ab", "abc", "abcdef", "中国人abc"])
+        kset = {"".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 9)))
+                for _ in range(rnd.randint(1, 250))}
+        if rnd.random() < 0.4:
+            kset.add("")
+        keys = np.unique(np.array(sorted(kset)))
+        b = FstBuilder(has_output=True, minimal=False)
+        b.insert_many(list(keys), list(range(len(keys))))
+        f1, f2 = b.finish(), build_probe_trie(keys)
+        assert list(f1.items()) == list(f2.items()), trial
+        if len(keys) < 2:
+            continue
+        q = str(keys[rnd.randrange(len(keys))])
+        assert (sorted(f1.search(fuzzy_automaton(q, 2, 0, True)))
+                == sorted(f2.search(fuzzy_automaton(q, 2, 0, True))))
+        a = batch_self_join_pairs(f1, list(keys), 2, True, 64)
+        c = batch_self_join_pairs(f2, list(keys), 2, True, 64)
+        assert (sorted(zip(a[0].tolist(), a[1].tolist()))
+                == sorted(zip(c[0].tolist(), c[1].tolist()))), trial
