@@ -528,33 +528,56 @@ _STOPS_DE_SQL = ("['der','die','das','und','ist','ein','eine','nicht',"
                  "'mit','von','zu','den','dem','sich']")
 
 
+# ---- shared SQL arithmetic builders (mod-2**64 in DuckDB HUGEINT) --
+_SQL_M = "18446744073709551616::HUGEINT"            # 2**64
+
+
+def _sql_mulmod(x: str, k: int) -> str:
+    """(x * k) % 2**64 with the near-2**64 constant split into 32-bit
+    halves so no product exceeds INT128."""
+    m = _SQL_M
+    hi, lo = k >> 32, k & 0xFFFFFFFF
+    return (f"((({x}) * {lo}::HUGEINT) % {m} + "
+            f"(((({x}) * {hi}::HUGEINT) % {m}) * 4294967296::HUGEINT)"
+            f" % {m}) % {m}")
+
+
+def _sql_mix(va: str, vb: str) -> str:
+    """hash64_pairs (functions/hashing.py) on two HUGEINT expressions:
+    h = a*K1; h ^= rotl17(b); h *= K2; h ^= h >> 29 — all mod 2**64."""
+    m = _SQL_M
+    rot = (f"((({vb}) * 131072::HUGEINT) % {m} "
+           f"+ ({vb}) // 140737488355328::HUGEINT)")
+    x = (f"xor(({_sql_mulmod(va, 0x9E3779B97F4A7C15)})::UBIGINT, "
+         f"({rot})::UBIGINT)::HUGEINT")
+    q = _sql_mulmod(x, 0xC2B2AE3D27D4EB4F)
+    return (f"xor(({q})::UBIGINT, "
+            f"(({q}) // 536870912::HUGEINT)::UBIGINT)::HUGEINT")
+
+
+def _sql_poly_token(var: str = "t") -> str:
+    """poly_hash64 (functions/hashing.py) of one VARCHAR expression:
+    fold(h * FNV_PRIME + codepoint) from the FNV offset, mod 2**64."""
+    from orchid_fst_ray.functions.text import _FNV_OFFSET, _FNV_PRIME
+    m = _SQL_M
+    b = f"{int(_FNV_PRIME)}::HUGEINT"          # < 2**41: h*b fits INT128
+    off = f"{int(_FNV_OFFSET)}::HUGEINT"
+    return (f"list_reduce(list_prepend({off}, "
+            f"list_transform(generate_series(1, length({var})), "
+            f"i -> ascii({var}[i])::HUGEINT)), "
+            f"(h, c) -> (h * {b} + c) % {m})")
+
+
 def _fingerprint_sql() -> str:
     """Exact SQL replica of ``stable_fingerprint`` (functions/text.py):
     winnowing over Karp-Rabin polynomial k-gram hashes mod 2**64, all
-    arithmetic in HUGEINT with explicit ``% 2**64`` (the near-2**64
-    mix constants are split into 32-bit halves so no product exceeds
-    INT128). The constants are imported from the engine so the two
-    sides share one spec."""
-    from orchid_fst_ray.functions.text import _FNV_OFFSET, _FNV_PRIME
+    arithmetic in HUGEINT with explicit ``% 2**64``. The constants are
+    imported from the engine so the two sides share one spec."""
+    from orchid_fst_ray.functions.text import _FNV_PRIME
 
-    m = "18446744073709551616::HUGEINT"
-    b = f"{int(_FNV_PRIME)}::HUGEINT"          # < 2**41: h*b fits INT128
-    off = f"{int(_FNV_OFFSET)}::HUGEINT"
-
-    def mulmod(x: str, k: int) -> str:
-        hi, lo = k >> 32, k & 0xFFFFFFFF
-        return (f"((({x}) * {lo}::HUGEINT) % {m} + "
-                f"(((({x}) * {hi}::HUGEINT) % {m}) * 4294967296::HUGEINT)"
-                f" % {m}) % {m}")
-
-    # hash64_pairs (functions/hashing.py): h = a*K1; h ^= rotl17(b);
-    # h *= K2; h ^= h >> 29 — all mod 2**64.
-    rot = f"((b * 131072::HUGEINT) % {m} + b // 140737488355328::HUGEINT)"
-    x = (f"xor(({mulmod('a', 0x9E3779B97F4A7C15)})::UBIGINT, "
-         f"({rot})::UBIGINT)::HUGEINT")
-    q = mulmod(x, 0xC2B2AE3D27D4EB4F)
-    mix = (f"xor(({q})::UBIGINT, "
-           f"(({q}) // 536870912::HUGEINT)::UBIGINT)::HUGEINT")
+    m = _SQL_M
+    b = f"{int(_FNV_PRIME)}::HUGEINT"
+    mix = _sql_mix("a", "b")
 
     return f"""
             WITH tok AS (
@@ -562,12 +585,8 @@ def _fingerprint_sql() -> str:
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
               FROM documents),
             th AS (
-              SELECT doc_id, list_transform(ts, t ->
-                list_reduce(
-                  list_prepend({off},
-                    list_transform(generate_series(1, length(t)),
-                                   i -> ascii(t[i])::HUGEINT)),
-                  (h, c) -> (h * {b} + c) % {m})) AS hs
+              SELECT doc_id,
+                     list_transform(ts, t -> {_sql_poly_token("t")}) AS hs
               FROM tok),
             gh AS (
               SELECT doc_id,
@@ -596,6 +615,181 @@ def _fingerprint_sql() -> str:
                           (a, b) -> {mix})::UBIGINT
               END AS fingerprint
             FROM mins ORDER BY doc_id"""
+
+
+def _minhash_sql(n_perm: int = 128, bands: int = 32, k: int = 3,
+                 threshold: float = 0.5, max_bucket: int = 200) -> str:
+    """Exact SQL replica of ``minhash_dup_pairs`` (pipelines/dedup.py):
+    WORD_RE tokens → polynomial token hashes → hash64_pairs-chained
+    k-token shingles (deduped per doc) → universal-hash minhash lanes
+    (the seeded (a,b) coefficients come from the SAME
+    ``minhash_coeffs`` generator the engine uses, embedded as a VALUES
+    table) → per-band bucket folds → bucket-grouped candidate pairs
+    (cap = the ``max_bucket`` smallest ids) → signature-agreement
+    estimate ≥ threshold. Empty-token documents carry the engine's
+    all-0xFF signature via the scaffold LEFT JOIN."""
+    import math
+
+    from orchid_fst_ray.functions.hashing import minhash_coeffs
+    from orchid_fst_ray.pipelines.dedup import _WS_RE2
+
+    m = _SQL_M
+    r = n_perm // bands
+    a_c, b_c = minhash_coeffs(n_perm)
+    perm_rows = ",\n                ".join(
+        f"({p}, {int(a_c[p])}::HUGEINT, {int(b_c[p])}::HUGEINT)"
+        for p in range(n_perm))
+    # eq-count threshold: mean(eq) >= t  <=>  count >= ceil(t*n_perm)
+    min_eq = math.ceil(threshold * n_perm - 1e-9)
+    pat = rf"[a-z0-9]+|[^{_WS_RE2}a-z0-9]"      # WORD_RE, RE2 spelling
+    mix = _sql_mix("a", "b")
+    # one minhash lane: xorshift33((s*a + b) mod 2**64); a < 2**61 so
+    # the product stays inside INT128 without splitting
+    lane = f"((sd.s * perm.pa + perm.pb) % {m})"
+    lane_h = (f"xor(({lane})::UBIGINT, "
+              f"(({lane}) // 8589934592::HUGEINT)::UBIGINT)::HUGEINT")
+
+    return f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{pat}') AS ts
+              FROM documents),
+            tokr AS (
+              SELECT doc_id, unnest(ts) AS t,
+                     generate_subscripts(ts, 1) AS pos
+              FROM tok),
+            dhash AS (
+              SELECT t, {_sql_poly_token("t")} AS th
+              FROM (SELECT DISTINCT t FROM tokr)),
+            tokh AS (
+              SELECT r.doc_id, list(d.th ORDER BY r.pos) AS hs
+              FROM tokr r JOIN dhash d USING (t)
+              GROUP BY r.doc_id),
+            shl AS (
+              SELECT doc_id, CASE
+                WHEN len(hs) = 0 THEN []::HUGEINT[]
+                WHEN len(hs) < {k} THEN
+                  [list_reduce(hs, (a, b) -> {mix})]
+                ELSE list_transform(generate_series(1, len(hs) - {k - 1}),
+                  i -> list_reduce(hs[i : i + {k - 1}], (a, b) -> {mix}))
+              END AS sh FROM tokh),
+            shd AS (
+              SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl),
+            perm(p, pa, pb) AS (VALUES
+                {perm_rows}),
+            -- lanes once per DISTINCT shingle value (shingles repeat
+            -- across near-dup docs); the big (doc, shingle, perm)
+            -- min-aggregate then runs on plain UBIGINT
+            dlane AS (
+              SELECT sd.s, perm.p, ({lane_h})::UBIGINT AS lh
+              FROM (SELECT DISTINCT s FROM shd) sd CROSS JOIN perm),
+            hmin AS (
+              SELECT doc.doc_id, perm.p,
+                     coalesce(min(dl.lh),
+                              18446744073709551615::UBIGINT)::HUGEINT AS h
+              FROM documents doc
+              CROSS JOIN perm
+              LEFT JOIN shd sd ON sd.doc_id = doc.doc_id
+              LEFT JOIN dlane dl ON dl.s = sd.s AND dl.p = perm.p
+              GROUP BY doc.doc_id, perm.p),
+            sigs AS (
+              SELECT doc_id, list(h ORDER BY p) AS sg
+              FROM hmin GROUP BY doc_id),
+            buckets AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend((bb.b + 1)::HUGEINT,
+                                    sg[{r} * bb.b + 1 : {r} * bb.b + {r}]),
+                       (a, b) -> {mix}) AS bucket
+              FROM sigs
+              CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1}))
+                          AS b) bb),
+            members AS (SELECT DISTINCT bucket, doc_id FROM buckets),
+            capped AS (
+              SELECT bucket, doc_id FROM (
+                SELECT bucket, doc_id,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY doc_id) AS rn
+                FROM members) WHERE rn <= {max_bucket}),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM capped x JOIN capped y
+                ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            est AS (
+              SELECT c.id_a, c.id_b,
+                     sum(CASE WHEN hx.h = hy.h THEN 1 ELSE 0 END) AS neq
+              FROM cand c
+              JOIN hmin hx ON hx.doc_id = c.id_a
+              JOIN hmin hy ON hy.doc_id = c.id_b AND hy.p = hx.p
+              GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b FROM est
+            WHERE neq >= {min_eq}
+            ORDER BY id_a, id_b"""
+
+
+def _simhash_sql(max_hamming: int = 3, max_bucket: int = 500) -> str:
+    """Exact SQL replica of ``simhash_dup_pairs`` (pipelines/dedup.py):
+    WORD_RE token multiplicities vote ±1 per signature bit (bit set
+    iff strictly more 1-votes), 4×16-bit pigeonhole band buckets,
+    capped bucket self-join, true Hamming distance via
+    ``bit_count(xor(...))``. Bit tests use HUGEINT divide-mod against
+    literal powers of two (no shift-type pitfalls)."""
+    from orchid_fst_ray.pipelines.dedup import _WS_RE2
+
+    pat = rf"[a-z0-9]+|[^{_WS_RE2}a-z0-9]"
+    bit_rows = ",\n                ".join(
+        f"({j}, {1 << j}::HUGEINT)" for j in range(64))
+    band_rows = ", ".join(f"({b}, {1 << (16 * b)}::HUGEINT)"
+                          for b in range(4))
+    ham = (f"bit_count(xor((x.sh % {_SQL_M})::UBIGINT, "
+           f"(y.sh % {_SQL_M})::UBIGINT))::BIGINT")
+
+    return f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{pat}') AS ts
+              FROM documents),
+            tokr AS (
+              SELECT doc_id, unnest(ts) AS t FROM tok),
+            tokc AS (
+              SELECT doc_id, t, count(*)::BIGINT AS c
+              FROM tokr GROUP BY doc_id, t),
+            dhash AS (
+              SELECT t, {_sql_poly_token("t")} AS th
+              FROM (SELECT DISTINCT t FROM tokc)),
+            bits(j, v) AS (VALUES
+                {bit_rows}),
+            votes AS (
+              SELECT tc.doc_id, bits.j, bits.v,
+                     sum(tc.c * ((dh.th // bits.v) % 2))::BIGINT AS ones,
+                     sum(tc.c)::BIGINT AS tot
+              FROM tokc tc JOIN dhash dh USING (t) CROSS JOIN bits
+              GROUP BY tc.doc_id, bits.j, bits.v),
+            sigd AS (
+              SELECT doc.doc_id,
+                     coalesce(sum(CASE WHEN 2 * v.ones > v.tot
+                                       THEN v.v END),
+                              0)::HUGEINT AS sh
+              FROM documents doc LEFT JOIN votes v USING (doc_id)
+              GROUP BY doc.doc_id),
+            bands(b, bv) AS (VALUES {band_rows}),
+            buckets AS (
+              SELECT doc_id, sh,
+                     (sh // bv) % 65536
+                       + b * 4294967296::HUGEINT AS bucket
+              FROM sigd CROSS JOIN bands),
+            capped AS (
+              SELECT bucket, doc_id, sh FROM (
+                SELECT bucket, doc_id, sh,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY doc_id) AS rn
+                FROM buckets) WHERE rn <= {max_bucket})
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   {ham} AS hamming
+            FROM capped x JOIN capped y
+              ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+            WHERE {ham} <= {max_hamming}
+            ORDER BY id_a, id_b"""
 
 
 def _pii_sql() -> str:
@@ -901,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de >= fr THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM h ORDER BY doc_id""",
+        "dedup_minhash": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         "pii_scan": _PII_SQL,
         "term_frequencies": """

@@ -14,10 +14,50 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash64", "hash64_pairs", "minhash_permute"]
+__all__ = ["hash64", "hash64_pairs", "minhash_permute",
+           "poly_hash64", "minhash_coeffs"]
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def poly_hash64(strings) -> np.ndarray:
+    """SQL-replicable 64-bit string hash: polynomial over the string's
+    CODEPOINTS, ``h = fold(h * FNV_PRIME + cp)`` from the FNV offset,
+    mod 2**64. Weaker mixing than :func:`hash64` (siphash) but exactly
+    recomputable in DuckDB HUGEINT arithmetic — the dedup/fingerprint
+    oracles recompute it value-for-value. Vectorized over the UNIQUE
+    strings via the numpy ``<U`` codepoint view (one fused
+    multiply-add per character column)."""
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = strings.to_pylist()
+    arr = np.asarray(strings)
+    if arr.dtype.kind != "U":
+        arr = arr.astype(str)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    if uniq.dtype.itemsize == 0:        # all-empty-string corner
+        return np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    codes = uniq.view(np.uint32).reshape(len(uniq), -1).astype(np.uint64)
+    h = np.full(len(uniq), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(codes.shape[1]):
+            c = codes[:, j]
+            live = c != 0
+            h[live] = h[live] * _FNV_PRIME + c[live]
+    return h[inv]
+
+
+def minhash_coeffs(n_perm: int,
+                   seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) universal-hash coefficients behind
+    :func:`minhash_permute` — exposed so the DuckDB oracle embeds the
+    SAME constants (one seeded generator, two consumers)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 61, size=n_perm, dtype=np.uint64)
+    return a, b
 
 
 def hash64(strings) -> np.ndarray:
@@ -67,9 +107,7 @@ def minhash_permute(hashes: np.ndarray, n_perm: int,
     """Universal-hash permutations for MinHash: returns (len, n_perm)
     uint64 matrix ``(a_i * h + b_i) mod p``-style mixes of the input
     64-bit hashes (vectorized)."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 61, size=n_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.randint(0, 1 << 61, size=n_perm, dtype=np.uint64)
+    a, b = minhash_coeffs(n_perm, seed)
     h = hashes.astype(np.uint64, copy=False)[:, None]
     with np.errstate(over="ignore"):
         m = h * a[None, :] + b[None, :]

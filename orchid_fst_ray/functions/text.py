@@ -109,22 +109,9 @@ _FNV_PRIME = np.uint64(1099511628211)
 
 
 def _poly_token_hashes(tokens: list[str]) -> np.ndarray:
-    """Polynomial hash of each ASCII token, vectorized over the UNIQUE
-    tokens: h = fold(h*FNV_PRIME + codepoint) from FNV offset. Tokens
-    come from FP_TOKEN_RE so every codepoint is one uint32 lane of the
-    numpy '<U' view (no surrogates, no padding collisions — tokens
-    never contain NUL)."""
-    arr = np.asarray(tokens)
-    uniq, inv = np.unique(arr, return_inverse=True)
-    width = uniq.dtype.itemsize // 4
-    codes = uniq.view(np.uint32).reshape(len(uniq), width).astype(np.uint64)
-    h = np.full(len(uniq), _FNV_OFFSET, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(width):
-            c = codes[:, j]
-            live = c != 0
-            h[live] = h[live] * _FNV_PRIME + c[live]
-    return h[inv]
+    """Polynomial hash of each token (shared spec: ``poly_hash64``)."""
+    from orchid_fst_ray.functions.hashing import poly_hash64
+    return poly_hash64(tokens)
 
 
 def stable_fingerprint(texts, window: int = 8, k: int = 3) -> np.ndarray:

@@ -33,7 +33,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from orchid_fst_ray.functions.hashing import hash64, hash64_pairs, minhash_permute
+from orchid_fst_ray.functions.hashing import (hash64, hash64_pairs,
+                                              minhash_permute, poly_hash64)
 from orchid_fst_ray.functions.text import WORD_RE, token_shingles
 
 __all__ = [
@@ -158,7 +159,11 @@ def shingle_hashes_flat(txt_col, k: int = 3):
     m = len(flat)
     if m == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64), n
-    th = hash64(flat)
+    # SQL-replicable token hash (polynomial mod 2**64, see
+    # functions/hashing.py poly_hash64): the dedup_minhash DuckDB
+    # oracle recomputes the whole shingle->signature->band->bucket
+    # chain value-for-value, which siphash would make impossible
+    th = poly_hash64(flat)
     cnt = np.bincount(row, minlength=n)
     parts_h: list[np.ndarray] = []
     parts_r: list[np.ndarray] = []
@@ -409,7 +414,7 @@ def _simhash_batch(texts: list, n_bits: int = 64) -> np.ndarray:
         toks = WORD_RE.findall((t or "").lower())
         if not toks:
             continue
-        h = hash64(toks)
+        h = poly_hash64(toks)
         bits = ((h[:, None] & bit_cols[None, :]) != 0)
         counts = bits.sum(axis=0) * 2 - len(h)   # (+1/-1 vote per token)
         out[i] = np.uint64(np.sum(bit_cols[counts > 0]))
@@ -423,7 +428,9 @@ def _simhash_flat(txt_col, n_bits: int = 64) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if len(flat) == 0:
         return out
-    th = hash64(flat)
+    # SQL-replicable token hash (see shingle_hashes_flat): the
+    # dedup_simhash DuckDB oracle recomputes the vote->bit->band chain
+    th = poly_hash64(flat)
     bit_cols = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
     bits = ((th[:, None] & bit_cols[None, :]) != 0)
     cnt = np.bincount(row, minlength=n)

@@ -652,3 +652,67 @@ def test_embedding_lsh_broadcast_vs_attach_parity(ray_session, emb_ds):
     pb = set(zip(bc["id_a"].astype(int), bc["id_b"].astype(int)))
     pt = set(zip(at["id_a"].astype(int), at["id_b"].astype(int)))
     assert pb == pt and pb
+
+
+def _edge_texts():
+    return ["The quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again!",
+            "completely different content with many words to fill space",
+            "", None, "ab", "one two", "x", "!!! --- ???",
+            "中文 字符 测试 中文 字符", "Hi! A-B; c.d repeated Hi! A-B",
+            "same same same same same same"]
+
+
+def test_minhash_sql_oracle_matches_engine(ray_session):
+    """dedup_minhash's DuckDB oracle must replay the engine's whole
+    shingle→signature→band→bucket→verify chain value-for-value on
+    edge cases (empty/None docs, <k tokens, CJK, punctuation tokens,
+    exact + near dups)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from orchid_fst_ray.pipelines import dedup
+
+    texts = _edge_texts()
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mine = dedup.minhash_dup_pairs(
+        rd.from_arrow(tbl), threshold=0.5, n_perm=128,
+        bands=32).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    oracle = con.execute(entry._minhash_sql()).df()
+    con.close()
+    mp = set(zip(mine["id_a"].astype(int), mine["id_b"].astype(int)))
+    op = set(zip(oracle["id_a"].astype(int), oracle["id_b"].astype(int)))
+    assert mp == op and mp    # near-dup 0/1 and empty 3/4 must pair
+    assert (0, 1) in mp and (3, 4) in mp
+
+
+def test_simhash_sql_oracle_matches_engine(ray_session):
+    """dedup_simhash's DuckDB oracle must replay the engine's token
+    vote → bit → pigeonhole-band chain value-for-value, including the
+    true Hamming distances."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from orchid_fst_ray.pipelines import dedup
+
+    texts = _edge_texts()
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mine = dedup.simhash_dup_pairs(
+        rd.from_arrow(tbl), max_hamming=3).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    oracle = con.execute(entry._simhash_sql()).df()
+    con.close()
+    mp = set(zip(mine["id_a"].astype(int), mine["id_b"].astype(int),
+                 mine["hamming"].astype(int)))
+    op = set(zip(oracle["id_a"].astype(int), oracle["id_b"].astype(int),
+                 oracle["hamming"].astype(int)))
+    assert mp == op
+    assert (3, 4, 0) in mp          # two empty docs: identical sigs
+    assert any(a == 0 and b == 1 for a, b, _ in mp)   # near-dup pair
