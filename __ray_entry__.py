@@ -433,6 +433,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ngram_max_posting=1_000_000)
         return (res["docs"].select_columns(["doc_id"]).sort("doc_id"))
 
+    def er_core_clusters(sf_dir: str):
+        """The ER core (blocking → fuzzy candidate self-join → hybrid
+        scoring → connected components) over the raw documents table,
+        restricted to ASCII-only docs so every step is exactly
+        DuckDB-expressible (DuckDB's edit distances count BYTES; the
+        engine counts characters — identical on ASCII, pinned by
+        test_scoring). Blocking key = lang, doc_key = first-8-token
+        key, d=2 Damerau candidates, score = 0.5·jw + 0.5·edit_sim
+        gated at 0.82 with the char_dist ≤ 1 bypass, cluster_id =
+        numeric min doc id of the component."""
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+        from orchid_fst_ray.functions.text import doc_keys_from_text
+        from orchid_fst_ray.stages.candidates import (dedupe_pairs,
+                                                      generate_candidates)
+        from orchid_fst_ray.stages.clustering import connected_components
+        from orchid_fst_ray.stages.scoring import score_pairs
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            text = pc.fill_null(pc.cast(t["text"], pa.large_string()), "")
+            ok = pc.match_substring_regex(text, r"^[\x00-\x7F]*$")
+            out = pa.table({
+                # zero-padded ids: lexicographic min == numeric min
+                "id": pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()),
+                                   20, "0"),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "doc_key": doc_keys_from_text(text, 8),
+            })
+            return out.filter(ok)
+
+        ds = docs.map_batches(prep, batch_format="pyarrow")
+        cand = dedupe_pairs(generate_candidates(
+            ds, d=2, damerau=True, key_col="doc_key", id_col="id",
+            block_col="lang", max_pairs_per_key=10 ** 9,
+            hot_block_rows=None), num_partitions=8)
+        scored = score_pairs(cand, threshold=0.82, max_char_dist=1,
+                             concurrency=(1, 4))
+        clusters = connected_components(
+            scored, nodes_ds=ds.select_columns(["id"]), node_col="id",
+            num_partitions=8)
+        return clusters.map_batches(lambda t: pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+        }), batch_format="pyarrow").sort("doc_id")
+
     def er_clusters(sf_dir: str):
         from orchid_fst_ray.pipelines.er import run_er
         from orchid_fst_ray.sources.pages import pages_from_documents
@@ -496,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": customers_per_region,
         "curated_docs": curated_docs,
         "curated_docs_ngram": curated_docs_ngram,
+        "er_core_clusters": er_core_clusters,
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_frames": multimodal_audio_frames,
@@ -790,6 +840,60 @@ def _simhash_sql(max_hamming: int = 3, max_bucket: int = 500) -> str:
               ON x.bucket = y.bucket AND x.doc_id < y.doc_id
             WHERE {ham} <= {max_hamming}
             ORDER BY id_a, id_b"""
+
+
+def _er_core_sql() -> str:
+    r"""Exact SQL replica of the ``er_core_clusters`` query: ASCII-only
+    docs, first-8-token doc_key (same split/slice/trim/collapse chain
+    as ``doc_keys_from_text``), d=2 Damerau candidate self-join per
+    lang block, the PairScorer's own DuckDB scoring expressions
+    (0.5·jw + 0.5·edit_sim ≥ 0.82 OR char_dist ≤ 1), connected
+    components via recursive transitive closure with numeric-min
+    labels."""
+    return r"""
+            WITH RECURSIVE docs0 AS (
+              SELECT doc_id, lower(coalesce(text, '')) AS lt, lang
+              FROM documents
+              WHERE regexp_matches(coalesce(text, ''),
+                                   '^[\x00-\x7F]*$')),
+            keys AS (
+              SELECT doc_id, lang,
+                     regexp_replace(trim(array_to_string(
+                         (regexp_split_to_array(lt, '[^\pL\pN]+'))[1:8],
+                         ' ')), '  +', ' ', 'g') AS k
+              FROM docs0),
+            cand AS (
+              -- |len(a)-len(b)| <= d is a NECESSARY condition for
+              -- DL <= d: the prefilter only prunes, never changes the
+              -- result (the n^2-per-block DL evaluation dominates the
+              -- oracle otherwise)
+              SELECT a.doc_id AS ia, b.doc_id AS ib, a.k AS ka, b.k AS kb
+              FROM keys a JOIN keys b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+               AND abs(length(a.k) - length(b.k)) <= 2
+              WHERE a.k = b.k OR damerau_levenshtein(a.k, b.k) <= 2),
+            scored AS (
+              SELECT ia, ib FROM cand
+              WHERE damerau_levenshtein(ka, kb) <= 1
+                 OR (jaro_winkler_similarity(ka, kb) * 0.5
+                     + (CASE WHEN greatest(length(ka), length(kb)) = 0
+                             THEN 1.0
+                             ELSE 1.0 - levenshtein(ka, kb)::DOUBLE
+                                  / greatest(length(ka), length(kb))
+                        END) * 0.5) >= 0.82),
+            edges AS (SELECT ia AS u, ib AS v FROM scored
+                      UNION SELECT ib, ia FROM scored),
+            reach(a, b) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+            labels AS (SELECT a AS node, min(b) AS mn FROM reach
+                       GROUP BY a)
+            SELECT k.doc_id,
+                   least(k.doc_id,
+                         coalesce(l.mn, k.doc_id))::BIGINT AS cluster_id
+            FROM keys k LEFT JOIN labels l ON l.node = k.doc_id
+            ORDER BY k.doc_id"""
 
 
 def _pii_sql() -> str:
@@ -1095,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de >= fr THEN 'de'
                         ELSE 'fr' END AS pred_lang
             FROM h ORDER BY doc_id""",
+        "er_core_clusters": _er_core_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprints": _fingerprint_sql(),

@@ -716,3 +716,25 @@ def test_simhash_sql_oracle_matches_engine(ray_session):
     assert mp == op
     assert (3, 4, 0) in mp          # two empty docs: identical sigs
     assert any(a == 0 and b == 1 for a, b, _ in mp)   # near-dup pair
+
+
+def test_er_core_sql_oracle_matches_engine(ray_session):
+    """er_core_clusters (blocking → d=2 Damerau fuzzy self-join →
+    hybrid scoring → connected components) must equal its DuckDB
+    replica row-for-row — the full ER core, machine-checked."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    mine = entry.queries()["er_core_clusters"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{SF}/documents.parquet')")
+    oracle = con.execute(entry._er_core_sql()).df()
+    con.close()
+    assert len(mine) == len(oracle) > 0
+    m = list(zip(mine["doc_id"].astype(int), mine["cluster_id"].astype(int)))
+    o = list(zip(oracle["doc_id"].astype(int),
+                 oracle["cluster_id"].astype(int)))
+    assert m == o
+    assert any(d != c for d, c in m)    # at least one real cluster
