@@ -165,7 +165,7 @@ def _fresh_session() -> None:
 # noise out of the recorded wall times (warmup is excluded per group)
 _QUERY_GROUPS = [
     ["dict_items", "dict_fuzzy_lev", "dict_fuzzy_batch", "dict_union",
-     "sort_lines"],
+     "sort_lines", "er_core_clusters"],
     ["dedup_exact", "dedup_minhash", "dedup_simhash",
      "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_lsh",
      "ann_topk"],
