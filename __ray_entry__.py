@@ -678,6 +678,30 @@ def _minhash_sql(n_perm: int = 128, bands: int = 32, k: int = 3,
     (cap = the ``max_bucket`` smallest ids) → signature-agreement
     estimate ≥ threshold. Empty-token documents carry the engine's
     all-0xFF signature via the scaffold LEFT JOIN."""
+    return f"""
+            WITH {_minhash_pair_ctes("documents", n_perm=n_perm,
+                                     bands=bands, k=k,
+                                     threshold=threshold,
+                                     max_bucket=max_bucket)}
+            SELECT id_a, id_b FROM mh_pairs
+            ORDER BY id_a, id_b"""
+
+
+def _minhash_pair_ctes(source: str, n_perm: int = 128, bands: int = 32,
+                       k: int = 3, threshold: float = 0.5,
+                       max_bucket: int = 200,
+                       materialize: bool = False) -> str:
+    """The ``minhash_dup_pairs`` replica as a reusable CTE chain
+    (names prefixed ``mh_``, final CTE ``mh_pairs(id_a, id_b)``) over
+    any ``source`` relation with (doc_id, text) — used standalone by
+    ``_minhash_sql`` and composed after the quality-gate + exact-dedup
+    CTEs by the ``curated_docs`` oracle.
+
+    ``materialize=True`` marks the multiply-referenced heavy CTEs
+    (mh_shd, mh_hmin) MATERIALIZED: when ``source`` is itself a CTE
+    chain, DuckDB's default CTE inlining re-runs that whole chain per
+    reference (37 s -> 14 s at sf0.01 for the curated composite); for
+    a base-table source the inlined plan is faster, so it stays off."""
     import math
 
     from orchid_fst_ray.functions.hashing import minhash_coeffs
@@ -698,83 +722,141 @@ def _minhash_sql(n_perm: int = 128, bands: int = 32, k: int = 3,
     lane = f"((sd.s * perm.pa + perm.pb) % {m})"
     lane_h = (f"xor(({lane})::UBIGINT, "
               f"(({lane}) // 8589934592::HUGEINT)::UBIGINT)::HUGEINT")
+    mat = "MATERIALIZED " if materialize else ""
 
-    return f"""
-            WITH tok AS (
+    return f"""mh_tok AS (
               SELECT doc_id,
                      regexp_extract_all(lower(text), '{pat}') AS ts
-              FROM documents),
-            tokr AS (
+              FROM {source}),
+            mh_tokr AS (
               SELECT doc_id, unnest(ts) AS t,
                      generate_subscripts(ts, 1) AS pos
-              FROM tok),
-            dhash AS (
+              FROM mh_tok),
+            mh_dhash AS (
               SELECT t, {_sql_poly_token("t")} AS th
-              FROM (SELECT DISTINCT t FROM tokr)),
-            tokh AS (
+              FROM (SELECT DISTINCT t FROM mh_tokr)),
+            mh_tokh AS (
               SELECT r.doc_id, list(d.th ORDER BY r.pos) AS hs
-              FROM tokr r JOIN dhash d USING (t)
+              FROM mh_tokr r JOIN mh_dhash d USING (t)
               GROUP BY r.doc_id),
-            shl AS (
+            mh_shl AS (
               SELECT doc_id, CASE
                 WHEN len(hs) = 0 THEN []::HUGEINT[]
                 WHEN len(hs) < {k} THEN
                   [list_reduce(hs, (a, b) -> {mix})]
                 ELSE list_transform(generate_series(1, len(hs) - {k - 1}),
                   i -> list_reduce(hs[i : i + {k - 1}], (a, b) -> {mix}))
-              END AS sh FROM tokh),
-            shd AS (
-              SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl),
-            perm(p, pa, pb) AS (VALUES
+              END AS sh FROM mh_tokh),
+            mh_shd AS {mat}(
+              SELECT DISTINCT doc_id, unnest(sh) AS s FROM mh_shl),
+            mh_perm(p, pa, pb) AS (VALUES
                 {perm_rows}),
             -- lanes once per DISTINCT shingle value (shingles repeat
             -- across near-dup docs); the big (doc, shingle, perm)
             -- min-aggregate then runs on plain UBIGINT
-            dlane AS (
+            mh_dlane AS (
               SELECT sd.s, perm.p, ({lane_h})::UBIGINT AS lh
-              FROM (SELECT DISTINCT s FROM shd) sd CROSS JOIN perm),
-            hmin AS (
+              FROM (SELECT DISTINCT s FROM mh_shd) sd
+              CROSS JOIN mh_perm perm),
+            mh_hmin AS {mat}(
               SELECT doc.doc_id, perm.p,
                      coalesce(min(dl.lh),
                               18446744073709551615::UBIGINT)::HUGEINT AS h
-              FROM documents doc
-              CROSS JOIN perm
-              LEFT JOIN shd sd ON sd.doc_id = doc.doc_id
-              LEFT JOIN dlane dl ON dl.s = sd.s AND dl.p = perm.p
+              FROM {source} doc
+              CROSS JOIN mh_perm perm
+              LEFT JOIN mh_shd sd ON sd.doc_id = doc.doc_id
+              LEFT JOIN mh_dlane dl ON dl.s = sd.s AND dl.p = perm.p
               GROUP BY doc.doc_id, perm.p),
-            sigs AS (
+            mh_sigs AS (
               SELECT doc_id, list(h ORDER BY p) AS sg
-              FROM hmin GROUP BY doc_id),
-            buckets AS (
+              FROM mh_hmin GROUP BY doc_id),
+            mh_buckets AS (
               SELECT doc_id,
                      list_reduce(
                        list_prepend((bb.b + 1)::HUGEINT,
                                     sg[{r} * bb.b + 1 : {r} * bb.b + {r}]),
                        (a, b) -> {mix}) AS bucket
-              FROM sigs
+              FROM mh_sigs
               CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1}))
                           AS b) bb),
-            members AS (SELECT DISTINCT bucket, doc_id FROM buckets),
-            capped AS (
+            mh_members AS (SELECT DISTINCT bucket, doc_id
+                           FROM mh_buckets),
+            mh_capped AS (
               SELECT bucket, doc_id FROM (
                 SELECT bucket, doc_id,
                        row_number() OVER (PARTITION BY bucket
                                           ORDER BY doc_id) AS rn
-                FROM members) WHERE rn <= {max_bucket}),
-            cand AS (
+                FROM mh_members) WHERE rn <= {max_bucket}),
+            mh_cand AS (
               SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-              FROM capped x JOIN capped y
+              FROM mh_capped x JOIN mh_capped y
                 ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
-            est AS (
+            mh_est AS (
               SELECT c.id_a, c.id_b,
                      sum(CASE WHEN hx.h = hy.h THEN 1 ELSE 0 END) AS neq
-              FROM cand c
-              JOIN hmin hx ON hx.doc_id = c.id_a
-              JOIN hmin hy ON hy.doc_id = c.id_b AND hy.p = hx.p
-              GROUP BY c.id_a, c.id_b)
-            SELECT id_a, id_b FROM est
-            WHERE neq >= {min_eq}
-            ORDER BY id_a, id_b"""
+              FROM mh_cand c
+              JOIN mh_hmin hx ON hx.doc_id = c.id_a
+              JOIN mh_hmin hy ON hy.doc_id = c.id_b AND hy.p = hx.p
+              GROUP BY c.id_a, c.id_b),
+            mh_pairs AS (
+              SELECT id_a, id_b FROM mh_est WHERE neq >= {min_eq})"""
+
+
+def _curated_minhash_sql(threshold: float = 0.6) -> str:
+    """Exact SQL replica of the DEFAULT ``curated_docs`` composite
+    (``curate_corpus`` with the minhash backend): quality gate → exact
+    dedup (min doc_id per text) → MinHash+LSH near-dup pairs at the
+    query's threshold (the full ``_minhash_pair_ctes`` replica over
+    the deduped survivors) → connected components → min-id survivors.
+    Composes the same gate CTEs as the ``curated_docs_ngram`` oracle
+    with the minhash chain that the ``dedup_minhash`` oracle proves."""
+    return f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS tk
+              FROM documents),
+            stats AS (
+              SELECT doc_id, text, n_chars, len(tk)::BIGINT AS n_tokens,
+                     tk
+              FROM base),
+            ex AS (SELECT doc_id, unnest(tk) AS tok,
+                          generate_subscripts(tk, 1) AS pos FROM stats),
+            grp AS (SELECT doc_id, tok,
+                           pos - row_number() OVER (
+                               PARTITION BY doc_id, tok ORDER BY pos) AS g
+                    FROM ex),
+            rl AS (SELECT doc_id, count(*) AS run FROM grp
+                   GROUP BY doc_id, tok, g),
+            mr AS (SELECT doc_id, max(run)::BIGINT AS max_run FROM rl
+                   GROUP BY doc_id),
+            gated AS (
+              SELECT s.doc_id, s.text
+              FROM stats s LEFT JOIN mr ON s.doc_id = mr.doc_id
+              WHERE s.n_tokens >= 10 AND s.n_tokens <= 100000
+                AND s.n_chars <= 12 * s.n_tokens
+                AND s.n_tokens <= s.n_chars
+                AND coalesce(mr.max_run, 0) < 8),
+            -- MATERIALIZED: dd feeds the minhash chain in three
+            -- places; DuckDB otherwise inlines (re-runs) the whole
+            -- gate chain per reference (42 s -> ~8 s at sf0.01)
+            dd AS MATERIALIZED (
+                   SELECT min(doc_id) AS doc_id, text FROM gated
+                   GROUP BY text),
+            {_minhash_pair_ctes("dd", threshold=threshold,
+                                materialize=True)},
+            edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+                      UNION SELECT id_b, id_a FROM mh_pairs),
+            reach(a, b) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+            labels AS (SELECT a AS node, min(b) AS mn FROM reach
+                       GROUP BY a)
+            SELECT doc_id FROM dd
+            WHERE doc_id NOT IN (SELECT node FROM labels
+                                 WHERE mn < node)
+            ORDER BY doc_id"""
 
 
 def _simhash_sql(max_hamming: int = 3, max_bucket: int = 500) -> str:
@@ -1200,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS pred_lang
             FROM h ORDER BY doc_id""",
         "er_core_clusters": _er_core_sql(),
+        "curated_docs": _curated_minhash_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprints": _fingerprint_sql(),

@@ -738,3 +738,27 @@ def test_er_core_sql_oracle_matches_engine(ray_session):
                  oracle["cluster_id"].astype(int)))
     assert m == o
     assert any(d != c for d, c in m)    # at least one real cluster
+
+
+def test_curated_minhash_sql_oracle_matches_engine(ray_session):
+    """The DEFAULT curation composite (minhash backend) must equal its
+    composed DuckDB oracle (gate → exact dedup → minhash pairs → CC →
+    min-id survivors) row-for-row at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from orchid_fst_ray.pipelines import dedup as _dd
+    from orchid_fst_ray.pipelines.curation import curate_corpus
+
+    import ray.data as rd
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    res = curate_corpus(docs, near_dup_threshold=0.6)
+    mine = sorted(res["docs"].to_pandas()["doc_id"].astype(int))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{SF}/documents.parquet')")
+    oracle = con.execute(entry._curated_minhash_sql()).df()
+    con.close()
+    assert mine == oracle["doc_id"].astype(int).tolist()
+    assert 0 < len(mine) <= docs.count()
