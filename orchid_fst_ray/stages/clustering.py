@@ -58,8 +58,40 @@ def _empty(schema: pa.Schema) -> pa.Table:
 
 
 def _bucket_of(col, n: int) -> np.ndarray:
-    from orchid_fst_ray.functions.hashing import hash64
-    return (hash64(col) % np.uint64(n)).astype(np.int64)
+    """Routing hash straight off the Arrow string BUFFERS: the first 8
+    and last 8 bytes of each value plus its length, mixed with
+    hash64_pairs — ~25x faster than objectifying the column for a
+    siphash (this runs inside EVERY BSP wave task; the objectifying
+    hash was half the task's wall). A collision only skews bucket
+    load, never correctness: all routing goes through this one
+    function, so co-partitioning stays consistent across rounds."""
+    from orchid_fst_ray.functions.hashing import hash64_pairs
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_string())
+    m = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], np.int64,
+                         count=arr.offset + m + 1)[arr.offset:]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    starts = offs[:-1]
+    lens = (offs[1:] - starts).astype(np.uint64)
+    first8 = np.zeros(m, np.uint64)
+    last8 = np.zeros(m, np.uint64)
+    ends = offs[1:]
+    with np.errstate(over="ignore"):
+        for k in range(8):
+            live = lens > k
+            idx_f = np.minimum(starts + k, ends - 1)
+            idx_b = np.maximum(ends - 1 - k, starts)
+            byte_f = data[np.clip(idx_f, 0, len(data) - 1)].astype(
+                np.uint64)
+            byte_b = data[np.clip(idx_b, 0, len(data) - 1)].astype(
+                np.uint64)
+            first8 |= np.where(live, byte_f, np.uint64(0)) << np.uint64(
+                8 * k)
+            last8 |= np.where(live, byte_b, np.uint64(0)) << np.uint64(
+                8 * k)
+    h = hash64_pairs(first8, hash64_pairs(last8, lens))
+    return (h % np.uint64(n)).astype(np.int64)
 
 
 def _split_by_bucket(t: pa.Table, col: str, n: int) -> list[pa.Table]:
