@@ -141,3 +141,33 @@ def test_bsp_with_seeds_includes_singletons(ray_session):
     got = _labels_dict(cc)
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
                    "lonely1": "lonely1", "lonely2": "lonely2"}
+
+
+def test_bucket_of_buffer_hash_edge_cases():
+    """The buffer-level routing hash must be consistent across
+    chunked / sliced / plain layouts of the SAME values (routing
+    consistency is the BSP co-partitioning invariant) and spread
+    load roughly uniformly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orchid_fst_ray.stages.clustering import _bucket_of
+
+    vals = ["", "a", "n1", "n12345678", "x" * 50,
+            "http://example.com/page1.html",
+            "http://example.com/page2.html"] * 3
+    plain = pa.array(vals, pa.string())
+    chunked = pa.chunked_array([pa.array(vals[:5]), pa.array(vals[5:])])
+    padded = pa.array(["PAD1", "PAD2"] + vals + ["PAD3"])
+    sliced = padded.slice(2, len(vals))
+    b0 = _bucket_of(plain, 8)
+    assert (b0 == _bucket_of(chunked, 8)).all()
+    assert (b0 == _bucket_of(sliced, 8)).all()
+    # same value -> same bucket, regardless of position
+    assert b0[0] == b0[7] and b0[3] == b0[10]
+    # uniformity on realistic keys
+    keys = pa.array([f"n{i}" for i in range(20000)])
+    counts = np.bincount(_bucket_of(keys, 16), minlength=16)
+    assert counts.min() > 20000 / 16 * 0.7, counts
+    # empty input
+    assert _bucket_of(pa.array([], pa.string()), 4).shape == (0,)
