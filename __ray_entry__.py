@@ -379,6 +379,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = similarity.ivf_ann_topk(_emb(sf_dir), [0, 7, 42], k=10)
         return res.select_columns(["query_id", "vec_id", "rank"])
 
+    def ann_lsh_exhaustive(sf_dir: str):
+        """LSH ANN in its exhaustive-probe configuration: multiprobe ==
+        bits means every vector is within Hamming range of every query,
+        so the bucketing machinery runs end-to-end but must reproduce
+        the brute-force top-k EXACTLY — pins the signature/candidate
+        plumbing with the same DuckDB oracle as ``ann_topk``."""
+        res = similarity.lsh_ann_topk(_emb(sf_dir), [0, 7, 42], k=10,
+                                      bits=8, multiprobe=8)
+        return res.select_columns(["query_id", "vec_id", "rank"]).sort(
+            ["query_id", "rank"])
+
+    def ann_ivf_exhaustive(sf_dir: str):
+        """IVF ANN with a single cell: every vector lands in the one
+        centroid's list and every query probes it, so the cell
+        assignment/probe machinery must reproduce brute-force top-k
+        exactly (same oracle as ``ann_topk``)."""
+        res = similarity.ivf_ann_topk(_emb(sf_dir), [0, 7, 42], k=10,
+                                      n_cells=1, n_probe=1)
+        return res.select_columns(["query_id", "vec_id", "rank"]).sort(
+            ["query_id", "rank"])
+
     def token_stats(sf_dir: str):
         return textstats.token_stats(_docs(sf_dir)).sort("doc_id")
 
@@ -535,6 +556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_lsh_exhaustive": ann_lsh_exhaustive,
+        "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "token_stats": token_stats,
         "quality_stats": quality_stats,
         "lang_id": lang_id,
@@ -1002,6 +1025,21 @@ _STOPS_FR_SQL = ("['le','la','les','et','est','un','une','pas','avec',"
                  "'de','du','des','que','pour']")
 
 
+_ANN_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id IN (0, 7, 42)),
+    s AS (SELECT q.qid, e.vec_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.qe::DOUBLE[]) AS cos
+          FROM embeddings e, q WHERE e.vec_id != q.qid),
+    r AS (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid AS query_id, vec_id, rank FROM r
+    WHERE rank <= 10 ORDER BY query_id, rank"""
+
+
 def oracle_sql() -> dict[str, str]:
     match_list = ", ".join(f"'{k}'" for k in _MATCH_KEYS)
     return {
@@ -1206,19 +1244,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
             ORDER BY id_a, id_b""",
-        "ann_topk": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe
-                       FROM embeddings WHERE vec_id IN (0, 7, 42)),
-            s AS (SELECT q.qid, e.vec_id,
-                         list_cosine_similarity(e.embedding::DOUBLE[],
-                                                q.qe::DOUBLE[]) AS cos
-                  FROM embeddings e, q WHERE e.vec_id != q.qid),
-            r AS (SELECT qid, vec_id,
-                         row_number() OVER (PARTITION BY qid
-                                            ORDER BY cos DESC, vec_id) AS rank
-                  FROM s)
-            SELECT qid AS query_id, vec_id, rank FROM r
-            WHERE rank <= 10 ORDER BY query_id, rank""",
+        "ann_topk": _ANN_TOPK_SQL,
+        # exhaustive-probe configurations (multiprobe == bits / a
+        # single IVF cell) degenerate to brute force BY CONSTRUCTION,
+        # so the approximate machinery carries the exact brute oracle
+        "ann_lsh_exhaustive": _ANN_TOPK_SQL,
+        "ann_ivf_exhaustive": _ANN_TOPK_SQL,
         "token_stats": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT
@@ -1311,8 +1342,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, value, rank FROM r
             WHERE rank <= 3 ORDER BY user_id, rank""",
-        # fingerprints (siphash-based rolling hash) / minhash / simhash /
-        # ann_lsh / ann_ivf / er_clusters / multimodal: not (exactly)
-        # SQL-expressible → driver rows-only check; pytest oracles in
-        # tests/test_dataops.py & tests/test_er_pipeline.py instead.
+        # ann_lsh / ann_ivf (the APPROXIMATE configurations) /
+        # dedup_embedding_lsh / er_clusters / multimodal: not (exactly)
+        # SQL-expressible → driver rows-only check; recall-floor /
+        # F1 pytest gates in tests/test_dataops.py &
+        # tests/test_er_pipeline.py instead. Their bucketing machinery
+        # IS exactly oracled via the *_exhaustive configurations above.
     }

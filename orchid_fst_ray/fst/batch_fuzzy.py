@@ -33,6 +33,7 @@ query kinds keep the scalar DFS.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 __all__ = ["batch_fuzzy_matches", "batch_self_join_pairs",
            "MAX_BATCH_D"]
@@ -310,7 +311,6 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
             key |= band[rep] << 20
         # hash-based factorize beats np.unique's argsort (the table
         # lookup needs dedup, not sorted order)
-        import pandas as pd
         inv, uk = pd.factorize(key)
         res = np.empty(len(uk), np.int64)
         for ui in range(len(uk)):

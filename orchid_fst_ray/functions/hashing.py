@@ -20,6 +20,17 @@ __all__ = ["hash64", "hash64_pairs", "minhash_permute",
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
+# poly_hash64 reads <U codepoints via view(np.uint32); that view is the
+# raw UCS4 storage in platform byte order. Checked once: the view of
+# "A" must read back the codepoint 65 (i.e. storage order and native
+# uint32 order agree), otherwise the hash would diverge from the
+# codepoint-arithmetic DuckDB replay.
+_U_CODEPOINT_VIEW_OK = bool(np.array(["A"]).view(np.uint32)[0] == 65)
+
+
+def _np_U_little_endian() -> bool:
+    return _U_CODEPOINT_VIEW_OK
+
 
 def poly_hash64(strings) -> np.ndarray:
     """SQL-replicable 64-bit string hash: polynomial over the string's
@@ -28,7 +39,18 @@ def poly_hash64(strings) -> np.ndarray:
     recomputable in DuckDB HUGEINT arithmetic — the dedup/fingerprint
     oracles recompute it value-for-value. Vectorized over the UNIQUE
     strings via the numpy ``<U`` codepoint view (one fused
-    multiply-add per character column)."""
+    multiply-add per character column).
+
+    Input contract (for the SQL-oracle equivalence): strings must be
+    NUL-free — numpy ``<U`` storage pads with (and drops trailing)
+    U+0000, so values differing only by embedded/trailing NULs hash
+    identically (all current callers feed ``[a-z0-9]+`` tokens /
+    shingles, which satisfy this). The ``view(np.uint32)`` codepoint
+    read also assumes little-endian UCS4 storage, asserted below —
+    on a big-endian host the values would differ from the DuckDB
+    replay."""
+    assert _np_U_little_endian(), \
+        "poly_hash64 requires little-endian numpy <U storage"
     if isinstance(strings, (pa.Array, pa.ChunkedArray)):
         strings = strings.to_pylist()
     arr = np.asarray(strings)

@@ -233,7 +233,7 @@ def minhash_bucket_stream(sigs_ds, id_col: str = "doc_id",
     rows_per_band = n_perm // bands
 
     def to_buckets(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        ids = _i64(t[id_col])
         sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False), dtype=np.uint64).reshape(len(ids), n_perm)
         # hash each band's rows into one uint64 bucket key
@@ -252,13 +252,21 @@ def minhash_bucket_stream(sigs_ds, id_col: str = "doc_id",
     return sigs_ds.map_batches(to_buckets, batch_format="pyarrow")
 
 
-def _col_nbytes(ds, col: str) -> int:
-    """Total byte size of one column of a (materialized) dataset —
-    only O(blocks) tiny rows reach the driver."""
-    sizes = ds.map_batches(
-        lambda t: pa.table({"b": pa.array([t[col].nbytes], pa.int64())}),
-        batch_format="pyarrow")
-    return sum(r["b"] for r in sizes.take_all())
+def _ds_nbytes(ds) -> int:
+    """Byte size of a MATERIALIZED dataset straight from its block
+    metadata — zero extra passes (the broadcast gates used to run a
+    whole map stage just to sum one column's nbytes; the payload
+    column dominates these tables, so table bytes is the same
+    order and the gate stays conservative)."""
+    return int(ds.size_bytes() or 0)
+
+
+def _i64(col, dtype="int64"):
+    """Zero-copy-where-possible numeric pull: combine chunks then
+    ``to_numpy`` (the ``to_pylist`` → ``np.asarray`` round-trip boxes
+    every value through Python objects)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
 
 
 def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -296,11 +304,11 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     buckets = minhash_bucket_stream(sigs, id_col, n_perm, bands)
     sorted_buckets = buckets.sort("bucket")
 
-    if _col_nbytes(sigs, "sig") <= broadcast_max_bytes:
+    if _ds_nbytes(sigs) <= broadcast_max_bytes:
         import ray
         ids_l, sig_l = [], []
         for t in sigs.iter_batches(batch_format="pyarrow"):
-            ids_l.append(np.asarray(t[id_col].to_pylist(), np.int64))
+            ids_l.append(_i64(t[id_col]))
             sig_l.append(np.asarray(
                 t["sig"].combine_chunks().flatten().to_numpy(
                     zero_copy_only=False),
@@ -314,8 +322,8 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         def block_verified(t: pa.Table) -> pa.Table:
             lut_ids, lut_sig = ray.get(ref)   # zero-copy store read
-            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-            bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+            ids = _i64(t[id_col])
+            bucket = _i64(t["bucket"], "uint64")
             ia, ib, est = [], [], []
             bounds = np.concatenate((
                 [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1,
@@ -344,8 +352,8 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     # -------- attach path: signatures never materialize driver-side
     def block_pairs(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+        ids = _i64(t[id_col])
+        bucket = _i64(t["bucket"], "uint64")
         out_a, out_b = [], []
         bounds = np.concatenate((
             [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))
@@ -467,8 +475,8 @@ def simhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     sigs = simhash_signatures(ds, text_col, id_col)
 
     def to_buckets(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        sh = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        ids = _i64(t[id_col])
+        sh = _i64(t["simhash"], "uint64")
         bands = [(sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
                  for b in range(4)]
         bucket = np.concatenate([
@@ -483,9 +491,9 @@ def simhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
-        sh = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        ids = _i64(t[id_col])
+        bucket = _i64(t["bucket"], "uint64")
+        sh = _i64(t["simhash"], "uint64")
         ia, ib, hd = [], [], []
         bounds = np.concatenate((
             [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))
@@ -565,8 +573,8 @@ def _attach_payload(pairs_ds, payload_ds, *, pair_key: str,
         empty[out_col] = pa.array([], payload_type)
         if t.num_rows == 0:
             return pa.table(empty)
-        tag = np.asarray(t["_tag"].to_pylist(), dtype=np.int8)
-        keys = np.asarray(t["_k"].to_pylist(), dtype=np.int64)
+        tag = _i64(t["_tag"], "int8")
+        keys = _i64(t["_k"])
         pay_idx = np.flatnonzero(tag == 0)
         pair_idx = np.flatnonzero(tag == 1)
         if len(pair_idx) == 0 or len(pay_idx) == 0:
@@ -650,7 +658,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def explode(t: pa.Table) -> pa.Table:
         # postings carry (shingle, doc_id, |set|): O(|set|) per doc,
         # produced by the corpus-wide vectorized shingler
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        ids = _i64(t[id_col])
         sh, srow, n = shingle_hashes_flat(t[text_col], k)
         lens = np.bincount(srow, minlength=n)
         return pa.table({
@@ -663,9 +671,9 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         explode, batch_format="pyarrow")
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        shingle = np.asarray(t["shingle"].to_pylist(), dtype=np.uint64)
-        ns = np.asarray(t["n"].to_pylist(), dtype=np.int64)
+        ids = _i64(t[id_col])
+        shingle = _i64(t["shingle"], "uint64")
+        ns = _i64(t["n"])
         out_a, out_b, out_na, out_nb = [], [], [], []
         bounds = np.concatenate((
             [0], np.flatnonzero(shingle[1:] != shingle[:-1]) + 1, [len(ids)]))
@@ -698,10 +706,10 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # the group key) and reduce each run vectorized. A hash aggregate
     # over ~1-row groups costs ~10x more than this sort+reduceat.
     def reduce_verify(t: pa.Table) -> pa.Table:
-        ia = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
-        ib = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
-        na = np.asarray(t["_na"].to_pylist(), dtype=np.int64)
-        nb = np.asarray(t["_nb"].to_pylist(), dtype=np.int64)
+        ia = _i64(t["id_a"])
+        ib = _i64(t["id_b"])
+        na = _i64(t["_na"])
+        nb = _i64(t["_nb"])
         if len(ia) == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -743,7 +751,7 @@ def embedding_dup_pairs(ds, vec_col: str = "embedding",
     ids_l = []
     for b in ds.select_columns([id_col, vec_col]).iter_batches(
             batch_format="pyarrow"):
-        ids_l.append(np.asarray(b[id_col].to_pylist(), dtype=np.int64))
+        ids_l.append(_i64(b[id_col]))
         mats.append(_vec_matrix(b[vec_col]))
     all_ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
     all_m = (np.vstack(mats) if mats else np.zeros((0, 0)))
@@ -757,7 +765,7 @@ def embedding_dup_pairs(ds, vec_col: str = "embedding",
             self.thr = thr
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            ids = _i64(t[id_col])
             m = _vec_matrix(t[vec_col])
             n = np.linalg.norm(m, axis=1)
             n[n == 0] = 1.0
@@ -817,7 +825,7 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
     from orchid_fst_ray.pipelines.similarity import _hyperplanes, _signatures
 
     def to_units(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        ids = _i64(t[id_col])
         m = _vec_matrix(t[vec_col])
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
@@ -836,7 +844,7 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
     planes_holder: dict = {}
 
     def to_buckets(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        ids = _i64(t[id_col])
         if len(ids) == 0:
             # don't cache planes off an empty batch (dim would be wrong
             # for every later batch in this worker) — just emit nothing
@@ -867,13 +875,13 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
     buckets = units.map_batches(to_buckets, batch_format="pyarrow")
     sorted_buckets = buckets.sort("bucket")
 
-    if _col_nbytes(units, "unit") <= broadcast_max_bytes:
+    if _ds_nbytes(units) <= broadcast_max_bytes:
         import ray
         ids_l, unit_l = [], []
         for t in units.iter_batches(batch_format="pyarrow"):
             if t.num_rows == 0:
                 continue
-            ids_l.append(np.asarray(t[id_col].to_pylist(), np.int64))
+            ids_l.append(_i64(t[id_col]))
             unit_l.append(np.vstack([
                 np.frombuffer(v, dtype=np.float32)
                 for v in t["unit"].to_pylist()]).astype(np.float64))
@@ -886,8 +894,8 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
 
         def block_verified(t: pa.Table) -> pa.Table:
             lut_ids, lut_unit = ray.get(ref)   # zero-copy store read
-            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-            bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+            ids = _i64(t[id_col])
+            bucket = _i64(t["bucket"], "uint64")
             ia, ib, cs = [], [], []
             bounds = np.concatenate((
                 [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1,
@@ -912,8 +920,8 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
 
     # -------- attach path: vectors never materialize driver-side
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        bucket = np.asarray(t["bucket"].to_pylist(), dtype=np.uint64)
+        ids = _i64(t[id_col])
+        bucket = _i64(t["bucket"], "uint64")
         out_a, out_b = [], []
         bounds = np.concatenate((
             [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1, [len(ids)]))

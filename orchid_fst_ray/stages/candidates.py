@@ -290,6 +290,26 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     return normal.union(hot)
 
 
+def _pack_blocks(sizes: dict, cap: int) -> list[list]:
+    """Greedy first-fit-decreasing bin pack of hot blocks into groups
+    whose blob-byte totals stay ≤ ``cap``. A single block larger than
+    ``cap`` gets its own group: all shards of one block must be
+    co-resident in a probe actor (the across-shard match budget merges
+    there), so a block is the indivisible packing unit."""
+    groups: list[list] = []
+    totals: list[int] = []
+    for blk in sorted(sizes, key=lambda b: (-sizes[b], b)):
+        for gi in range(len(groups)):
+            if totals[gi] + sizes[blk] <= cap:
+                groups[gi].append(blk)
+                totals[gi] += sizes[blk]
+                break
+        else:
+            groups.append([blk])
+            totals.append(sizes[blk])
+    return groups
+
+
 def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             key_col: str = "doc_key", id_col: str = "url",
                             block_col: str = "host",
@@ -297,26 +317,41 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             probe_concurrency=None,
                             url_col: str | None = None,
                             same_prefix_len: int = 0,
-                            shard_rows: int = 4096):
+                            shard_rows: int = 4096,
+                            broadcast_max_bytes: int = 256 * 2 ** 20):
     """Mega-block fuzzy candidates: per hot block build SHARDED FSTs
     over its distinct keys — shard = stable hash(key) mod
     ceil(rows / shard_rows), so one mega-host never serializes its
     whole index build into a single task (build work per task is
-    bounded by ``shard_rows`` no matter how hot the block gets) —
-    broadcast the shard dict via ``ray.put``, then probe (block, key)
-    rows in a parallel actor pool (per-batch deduped; cross-batch
-    repeats collapse in the downstream pair dedup). A probe runs
-    against every shard of its block and merges; url pairs expand IN
-    the actors from a broadcast key→ids map that rides with the FSTs
-    (ids per key ~1-3, so the map is the same order of size as the
-    blob; this replaces two whole sort-merge joins and their sorts).
-    A probe emits only matches ``mk > k`` — each key pair exactly
-    once, mirroring BlockCandidates' symmetric self-join; the
-    max-pairs budget takes the ``max_pairs_per_key`` smallest matched
-    keys across shards (== first-N-in-search-order on an unsharded
-    FST). Same-key and same-norm-url url pairs come from one
-    range-partition sort + vectorized block pass each (no per-group
-    tasks).
+    bounded by ``shard_rows`` no matter how hot the block gets).
+
+    Blob movement is ref-only past the build tasks: each build task
+    ``ray.put``\\ s its own shard blob into the object store and returns
+    just ``(block, nbytes, ObjectRef)`` through the Dataset, so the
+    driver materializes O(#shards) rows of refs — never the blobs
+    themselves. If the total index exceeds ``broadcast_max_bytes`` the
+    hot blocks are bin-packed into groups each ≤ the gate and probed
+    group-by-group (probe stream filtered per group), bounding every
+    probe actor's resident index at the gate no matter how many hot
+    hosts the corpus has; below the gate it is a single pass, with the
+    blobs flowing object-store → actor directly (the pre-round-4 path
+    pulled every blob through the driver heap first). Shard blobs are
+    owned by the build workers (in-task ``ray.put``); the stage is
+    short-lived and ER checkpointing covers worker loss.
+
+    Probing: (block, key) rows go through a parallel actor pool
+    (per-batch deduped; cross-batch repeats collapse in the downstream
+    pair dedup). A probe runs against every shard of its block and
+    merges; url pairs expand IN the actors from the key→ids maps that
+    ride with the FSTs (ids per key ~1-3, so the maps are the same
+    order of size as the blobs; this replaces two whole sort-merge
+    joins and their sorts). A probe emits only matches ``mk > k`` —
+    each key pair exactly once, mirroring BlockCandidates' symmetric
+    self-join; the max-pairs budget takes the ``max_pairs_per_key``
+    smallest matched keys across shards (== first-N-in-search-order on
+    an unsharded FST). Same-key expansion and same-norm-url pairs are
+    vectorized (CSR cross-product / triangle kernels — no per-row
+    Python emit loops).
     """
     import ray
     from orchid_fst_ray.functions.blocks import compact_nonempty
@@ -369,47 +404,77 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         b.insert_many(keys, list(range(len(keys))))
         # the key→ids map rides along with the FST: it is the same
         # order of size (ids per key ~1-3), so expanding url pairs
-        # IN the probe actors replaces two whole sort-merge joins
+        # IN the probe actors replaces two whole sort-merge joins.
+        # The blob goes STRAIGHT to the object store from this task;
+        # only the (block, nbytes, ref) triple travels to the driver.
+        fst_bytes = b.finish().to_bytes()
+        ids_bytes = pickle.dumps(
+            (keys, {k: sorted(v) for k, v in by_key.items()}))
+        ref = ray.put((fst_bytes, ids_bytes))
         return pd.DataFrame({
             block_col: [g[block_col].iloc[0]],
-            "fst": [b.finish().to_bytes()],
-            "ids": [pickle.dumps((keys, {k: sorted(v)
-                                         for k, v in by_key.items()}))]})
+            "nbytes": [len(fst_bytes) + len(ids_bytes)],
+            "ref": [ref]})
 
-    fst_rows = (docs_small.select_columns([block_col, key_col, id_col])
+    # O(#shards) tiny rows of (block, nbytes, ObjectRef) — the blobs
+    # themselves never touch the driver heap
+    ref_rows = (docs_small.select_columns([block_col, key_col, id_col])
                 .map_batches(add_shard, batch_format="pyarrow")
                 .groupby([block_col, "shard"])
-                .map_groups(build, batch_format="pandas"))
-    rows = fst_rows.take_all()
-    fsts: dict[str, list] = {}
-    idmaps: dict[str, list] = {}
-    for r in rows:
-        fsts.setdefault(r[block_col], []).append(r["fst"])
-        idmaps.setdefault(r[block_col], []).append(r["ids"])
-    import pickle
-    ref = ray.put(fsts)
-    ids_ref = ray.put(idmaps)
+                .map_groups(build, batch_format="pandas")
+                .take_all())
+    refs_by_block: dict[str, list] = {}
+    sizes_by_block: dict[str, int] = {}
+    for r in ref_rows:
+        refs_by_block.setdefault(r[block_col], []).append(r["ref"])
+        sizes_by_block[r[block_col]] = (
+            sizes_by_block.get(r[block_col], 0) + int(r["nbytes"]))
+    total_bytes = sum(sizes_by_block.values())
+    if total_bytes <= broadcast_max_bytes:
+        groups = [list(refs_by_block)] if refs_by_block else []
+    else:
+        groups = _pack_blocks(sizes_by_block, broadcast_max_bytes)
 
     class Probe:
-        def __init__(self, fst_ref, ids_ref, d, damerau, cap,
+        def __init__(self, refs_by_block, d, damerau, cap,
                      same_prefix_len=0):
             import pickle
             from orchid_fst_ray.fst import Fst
-            # blk → [(fst, shard_keys), ...] ; ids maps merge across
-            # shards (same key always hashes to the same shard, so
-            # shard key sets are disjoint)
-            fst_blobs = ray.get(fst_ref)
+            # blk → [(fst, shard_keys, shard_key_gidx), ...]; the
+            # merged key→ids map becomes a CSR over the SORTED block
+            # keys so the emit path is pure numpy gathers. Shard key
+            # sets are disjoint (same key always hashes to the same
+            # shard), so the merge is a plain union.
+            flat = [(blk, r) for blk, refs in refs_by_block.items()
+                    for r in refs]
+            blobs = ray.get([r for _, r in flat]) if flat else []
+            raw: dict[str, list] = {}
+            for (blk, _), (fb, ib) in zip(flat, blobs):
+                raw.setdefault(blk, []).append((fb, ib))
             self.shards: dict[str, list] = {}
-            self.ids: dict[str, dict] = {}
-            for blk, id_blobs in ray.get(ids_ref).items():
-                shard_list = []
+            self.index: dict[str, tuple] = {}
+            for blk, shard_blobs in raw.items():
                 merged: dict[str, list] = {}
-                for fb, ib in zip(fst_blobs[blk], id_blobs):
+                decoded = []
+                for fb, ib in shard_blobs:
                     keys, by_key = pickle.loads(ib)
-                    shard_list.append((Fst.from_bytes(fb), keys))
+                    decoded.append((Fst.from_bytes(fb), keys))
                     merged.update(by_key)
-                self.shards[blk] = shard_list
-                self.ids[blk] = merged
+                keys_sorted = np.array(sorted(merged))
+                id_counts = np.array(
+                    [len(merged[k]) for k in keys_sorted], np.int64)
+                id_offsets = np.concatenate(
+                    ([0], np.cumsum(id_counts)[:-1])).astype(np.int64)
+                flat_ids = np.array(
+                    [u for k in keys_sorted for u in merged[k]],
+                    dtype=object)
+                self.index[blk] = (keys_sorted, id_counts, id_offsets,
+                                   flat_ids)
+                self.shards[blk] = [
+                    (fst, skeys,
+                     np.searchsorted(keys_sorted, np.array(skeys))
+                     if skeys else np.zeros(0, np.int64))
+                    for fst, skeys in decoded]
             self.d = d
             self.damerau = damerau
             self.cap = cap
@@ -417,84 +482,145 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             from orchid_fst_ray.fst import fuzzy_automaton
-            blocks, ua, ub, ka, kb = [], [], [], [], []
-
-            def emit(blk, ia, ib, k_i, k_j):
-                a, b = (ia, ib) if ia < ib else (ib, ia)
-                ua.append(a)
-                ub.append(b)
-                ka.append(k_i if ia < ib else k_j)
-                kb.append(k_j if ia < ib else k_i)
-                blocks.append(blk)
-
-            # batch-local distinct probes, grouped per block so the
-            # batched prober runs once per (block, shard)
-            probes: dict[str, list[str]] = {}
-            seen = set()
-            for blk, k in zip(t[block_col].to_pylist(),
-                              t[key_col].to_pylist()):
-                if (blk, k) not in seen:
-                    seen.add((blk, k))
-                    probes.setdefault(blk, []).append(k)
-            for blk, pkeys in probes.items():
-                by_key = self.ids[blk]
-                # matched keys per probe key, merged across shards
-                per_q: dict[int, list] = {}
-                for fst, skeys in self.shards[blk]:
-                    if self.same_prefix_len == 0 and self.d <= MAX_BATCH_D:
+            parts: list[pa.Table] = []
+            if t.num_rows == 0:
+                return _PAIR_SCHEMA_EMPTY()
+            # batch-local distinct probes (Arrow C++ hash aggregate),
+            # grouped per block so the batched prober runs once per
+            # (block, shard)
+            distinct = t.select([block_col, key_col]).group_by(
+                [block_col, key_col]).aggregate([])
+            db = np.asarray(distinct[block_col].to_pylist(), object)
+            dk = np.asarray(distinct[key_col].to_pylist(), object)
+            order = np.argsort(db, kind="stable")
+            db, dk = db[order], dk[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(db[1:] != db[:-1]) + 1, [len(db)]))
+            for s, e in zip(starts[:-1], starts[1:]):
+                blk = db[s]
+                pkeys = list(dk[s:e])
+                keys_sorted, id_counts, id_offsets, flat_ids = \
+                    self.index[blk]
+                q_g = np.searchsorted(keys_sorted, np.array(pkeys))
+                I_parts: list[np.ndarray] = []
+                J_parts: list[np.ndarray] = []
+                for fst, skeys, skeys_g in self.shards[blk]:
+                    if (self.same_prefix_len == 0
+                            and self.d <= MAX_BATCH_D):
                         # vectorized: all probe keys walk this shard's
                         # FST together (pair-for-pair equal to the
                         # scalar loop)
                         qi, mv = batch_fuzzy_matches(
                             fst, pkeys, self.d, self.damerau)
-                        for q, mi in zip(qi.tolist(), mv.tolist()):
-                            mk = skeys[mi]
-                            if mk > pkeys[q]:
-                                per_q.setdefault(q, []).append(mk)
+                        gm = skeys_g[mv]
+                        keep = gm > q_g[qi]
+                        I_parts.append(q_g[qi][keep])
+                        J_parts.append(gm[keep])
                     else:
+                        qs: list[int] = []
+                        ms: list[int] = []
                         for q, k in enumerate(pkeys):
                             aut = fuzzy_automaton(
                                 k, self.d, self.same_prefix_len,
                                 self.damerau)
                             budget = self.cap
-                            for mk, _ in fst.search(aut):
+                            for mk, midx in fst.search(aut):
                                 if mk <= k:
                                     continue
-                                per_q.setdefault(q, []).append(mk)
+                                qs.append(q)
+                                ms.append(midx)
                                 budget -= 1
                                 if budget <= 0:
                                     break
-                # budget ACROSS shards: the cap smallest matched keys
-                # == first-cap-in-search-order on an unsharded FST
-                for q, mks in per_q.items():
-                    k = pkeys[q]
-                    my_ids = by_key[k]
-                    for mk in sorted(mks)[:self.cap]:
-                        for ia in my_ids:
-                            for ib in by_key[mk]:
-                                emit(blk, ia, ib, k, mk)
+                        I_parts.append(q_g[np.asarray(qs, np.int64)])
+                        J_parts.append(
+                            skeys_g[np.asarray(ms, np.int64)])
+                I = np.concatenate(I_parts) if I_parts else \
+                    np.zeros(0, np.int64)
+                J = np.concatenate(J_parts) if J_parts else \
+                    np.zeros(0, np.int64)
+                if len(I):
+                    # budget ACROSS shards: the cap smallest matched
+                    # keys == first-cap-in-search-order on an
+                    # unsharded FST (key order == sorted-gidx order)
+                    o = np.lexsort((J, I))
+                    I, J = I[o], J[o]
+                    run_start = np.zeros(len(I), np.int64)
+                    new = np.flatnonzero(I[1:] != I[:-1]) + 1
+                    run_start[new] = new
+                    np.maximum.accumulate(run_start, out=run_start)
+                    rank = np.arange(len(I), dtype=np.int64) - run_start
+                    keep = rank < self.cap
+                    I, J = I[keep], J[keep]
+                if len(I):
+                    ia_idx, ib_idx, pid = _expand_cross(
+                        id_counts, id_offsets, I, J)
+                    A, B = flat_ids[ia_idx], flat_ids[ib_idx]
+                    KA = keys_sorted[I[pid]]
+                    KB = keys_sorted[J[pid]]
+                    swap = A > B
+                    parts.append(_pairs_table(
+                        np.where(swap, B, A), np.where(swap, A, B),
+                        np.where(swap, KB, KA), np.where(swap, KA, KB),
+                        blk))
                 # exact-duplicate keys: ids sharing a key (repeat
-                # probes across batches collapse in dedupe_pairs)
-                for k in pkeys:
-                    my_ids = by_key[k]
-                    for i in range(len(my_ids) - 1):
-                        for j in range(i + 1, len(my_ids)):
-                            emit(blk, my_ids[i], my_ids[j], k, k)
-            return pa.table({
-                "url_a": pa.array(ua, pa.string()),
-                "url_b": pa.array(ub, pa.string()),
-                "key_a": pa.array(ka, pa.string()),
-                "key_b": pa.array(kb, pa.string()),
-                "block_key": pa.array(blocks, pa.string()),
-                "source": pa.array(["fuzzy"] * len(ua), pa.string()),
-            })
+                # probes across batches collapse in dedupe_pairs);
+                # ids are sorted within each key, so the triangle
+                # kernel already emits canonical (a < b) pairs
+                multi = q_g[id_counts[q_g] > 1]
+                if len(multi):
+                    sizes = id_counts[multi]
+                    gstart = id_offsets[multi]
+                    tot = int(sizes.sum())
+                    seg = np.concatenate(
+                        ([0], np.cumsum(sizes)[:-1])).astype(np.int64)
+                    local = (np.arange(tot, dtype=np.int64)
+                             - np.repeat(seg, sizes))
+                    ids_run = flat_ids[np.repeat(gstart, sizes) + local]
+                    rb = np.concatenate(([0], np.cumsum(sizes)))
+                    a_idx, b_idx = _run_triangle_indices(
+                        rb.astype(np.int64))
+                    krep = np.repeat(keys_sorted[multi],
+                                     (sizes * (sizes - 1)) // 2)
+                    parts.append(_pairs_table(
+                        ids_run[a_idx], ids_run[b_idx], krep, krep,
+                        blk))
+            if not parts:
+                return _PAIR_SCHEMA_EMPTY()
+            return pa.concat_tables(parts)
 
-    fuzzy_out = docs_small.select_columns([block_col, key_col]).map_batches(
-        Probe,
-        fn_constructor_args=(ref, ids_ref, d, damerau, max_pairs_per_key,
-                             same_prefix_len),
-        batch_format="pyarrow", batch_size=128,
-        concurrency=probe_concurrency, num_cpus=1)
+    probe_src = docs_small.select_columns([block_col, key_col])
+    group_outs = []
+    if isinstance(probe_concurrency, int):
+        minc = maxc = probe_concurrency
+    else:
+        minc, maxc = probe_concurrency
+    for gi, blocks in enumerate(groups):
+        grp_refs = {b: refs_by_block[b] for b in blocks}
+        src = probe_src
+        if len(groups) > 1:
+            blk_set = pa.array(sorted(blocks))
+
+            def grp_filter(tbl: pa.Table, _s=blk_set) -> pa.Table:
+                import pyarrow.compute as pc
+                return tbl.filter(pc.is_in(tbl[block_col], value_set=_s))
+
+            src = probe_src.map_batches(grp_filter,
+                                        batch_format="pyarrow")
+        group_outs.append(src.map_batches(
+            Probe,
+            fn_constructor_args=(grp_refs, d, damerau,
+                                 max_pairs_per_key, same_prefix_len),
+            batch_format="pyarrow", batch_size=128,
+            concurrency=(max(1, minc // max(1, len(groups))), maxc),
+            num_cpus=1))
+    if not group_outs:
+        fuzzy_out = probe_src.map_batches(
+            lambda t: _PAIR_SCHEMA_EMPTY(), batch_format="pyarrow")
+    elif len(group_outs) == 1:
+        fuzzy_out = group_outs[0]
+    else:
+        fuzzy_out = group_outs[0].union(*group_outs[1:])
 
     # same-norm-url pairs (url ≠ key, so they need their own pass):
     # one range-partition sort + vectorized within-block pairing
@@ -503,6 +629,18 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         out = out.union(_equal_value_pairs(
             docs_small, block_col, url_col, key_col, id_col, "url"))
     return out
+
+
+def _pairs_table(a, b, ka, kb, blk, source: str = "fuzzy") -> pa.Table:
+    n = len(a)
+    return pa.table({
+        "url_a": pa.array(a, pa.string()),
+        "url_b": pa.array(b, pa.string()),
+        "key_a": pa.array(ka, pa.string()),
+        "key_b": pa.array(kb, pa.string()),
+        "block_key": pa.array([str(blk)] * n, pa.string()),
+        "source": pa.array([source] * n, pa.string()),
+    })
 
 
 def _PAIR_SCHEMA_EMPTY() -> pa.Table:

@@ -71,7 +71,16 @@ def _bucket_of(col, n: int) -> np.ndarray:
     m = len(arr)
     offs = np.frombuffer(arr.buffers()[1], np.int64,
                          count=arr.offset + m + 1)[arr.offset:]
-    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    data_buf = arr.buffers()[2]
+    data = (np.frombuffer(data_buf, np.uint8) if data_buf is not None
+            else np.zeros(0, np.uint8))
+    if len(data) == 0:
+        # Degenerate block: every value empty/null → the data buffer is
+        # zero-length (or absent) and the clipped gathers below would
+        # index -1 into it. The `live` mask already zeroes gathered
+        # bytes for empty values, so a 1-byte dummy leaves all real
+        # hashes unchanged.
+        data = np.zeros(1, np.uint8)
     starts = offs[:-1]
     lens = (offs[1:] - starts).astype(np.uint64)
     first8 = np.zeros(m, np.uint64)

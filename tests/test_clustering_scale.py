@@ -171,3 +171,15 @@ def test_bucket_of_buffer_hash_edge_cases():
     assert counts.min() > 20000 / 16 * 0.7, counts
     # empty input
     assert _bucket_of(pa.array([], pa.string()), 4).shape == (0,)
+    # degenerate blocks: all-empty-string / all-null values have a
+    # zero-length (or absent) data buffer — must not crash, and the
+    # empty string must land in the same bucket as it does in a mixed
+    # block (routing consistency)
+    all_empty = _bucket_of(pa.array(["", "", ""], pa.string()), 8)
+    assert all_empty.shape == (3,)
+    assert (all_empty == all_empty[0]).all()
+    assert all_empty[0] == b0[0]  # "" is vals[0] in the mixed block
+    all_null = _bucket_of(pa.array([None, None], pa.string()), 8)
+    assert all_null.shape == (2,)
+    mixed_null = _bucket_of(pa.array(["a", None, ""], pa.string()), 8)
+    assert mixed_null[0] == b0[1] and mixed_null[2] == b0[0]

@@ -99,6 +99,41 @@ def test_hot_block_path_equals_normal_path(ray_session, fixture):
                                        hot_block_rows=1, num_partitions=4))
     assert hot == normal
 
+    # force the GATED (grouped) hot path: a 1-byte broadcast budget
+    # bin-packs every hot block into its own group, exercising the
+    # per-group probe passes + union — pairs must be identical
+    from orchid_fst_ray.stages.candidates import generate_hot_candidates
+    slim = docs.select_columns(["url", "doc_key", "host"])
+    gated = pair_set(generate_hot_candidates(
+        slim, d=2, damerau=True, broadcast_max_bytes=1,
+        probe_concurrency=(1, 2)))
+    assert gated == normal
+
+
+def test_hot_candidates_driver_holds_refs_not_blobs():
+    """Tripwire (the curation pattern): the hot-candidate build stage
+    must never pull FST/ids blobs to the driver — build tasks ray.put
+    their own shard and only (block, nbytes, ObjectRef) rows cross the
+    driver. Also pins the bin-packer's invariants."""
+    import inspect
+    from orchid_fst_ray.stages import candidates
+
+    src = inspect.getsource(candidates.generate_hot_candidates)
+    assert '"fst":' not in src and '"ids":' not in src, \
+        "blob columns reappeared in the build output"
+    assert "ray.put((fst_bytes" in src, \
+        "build tasks must put their own shard blobs"
+    for pat in ("iter_batches", "to_pandas", "iter_rows"):
+        assert pat not in src, f"driver materialization crept in: {pat}"
+
+    packs = candidates._pack_blocks(
+        {"a": 10, "b": 90, "c": 40, "d": 200}, cap=100)
+    assert sorted(b for g in packs for b in g) == ["a", "b", "c", "d"]
+    for g in packs:
+        total = sum({"a": 10, "b": 90, "c": 40, "d": 200}[b] for b in g)
+        assert total <= 100 or len(g) == 1  # oversized block alone
+    assert ["d"] in packs  # 200 > cap → its own group
+
 
 def test_checkpoint_resume(ray_session, fixture, tmp_path):
     import ray.data as rd
