@@ -200,7 +200,7 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
     """documents → (doc_id, sig: fixed-width minhash signature)."""
 
     def sig_batch(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
+        ids = _i64(t[id_col])
         # corpus-wide vectorized shingling (no per-doc Python), then
         # segmented mins (np.minimum.reduceat) over the row runs
         sh, srow, n = shingle_hashes_flat(t[text_col], k)
@@ -582,9 +582,7 @@ def _attach_payload(pairs_ds, payload_ds, *, pair_key: str,
         if dedup:
             # all copies of a (key, other-id) pair live in this block;
             # keys are already sorted, lexsort refines by the other id
-            other = np.asarray(
-                t[carry_cols[0]].take(pa.array(pair_idx)).to_pylist(),
-                dtype=np.int64)
+            other = _i64(t[carry_cols[0]].take(pa.array(pair_idx)))
             order = np.lexsort((other, keys[pair_idx]))
             ko, oo = keys[pair_idx][order], other[order]
             first = np.concatenate(([True], (ko[1:] != ko[:-1])
@@ -793,6 +791,30 @@ def _vec_matrix(col) -> np.ndarray:
     return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
 
 
+def _bin_matrix(col, dtype=np.float32) -> np.ndarray:
+    """Fixed-width binary column → (n, w) matrix straight off the
+    Arrow data buffer (the per-row ``np.frombuffer`` loop boxed every
+    value through Python). Falls back to the row loop if the values
+    aren't contiguous equal-width (never the case for engine-written
+    unit columns, but cheap to guard)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    item = np.dtype(dtype).itemsize
+    if n == 0:
+        return np.zeros((0, 0), dtype)
+    offs = np.frombuffer(arr.buffers()[1], np.int64,
+                         count=arr.offset + n + 1)[arr.offset:]
+    w = int(offs[1] - offs[0])
+    if int(offs[-1] - offs[0]) == n * w and w % item == 0:
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        flat = data[int(offs[0]):int(offs[-1])]
+        if flat.ctypes.data % np.dtype(dtype).alignment:
+            flat = flat.copy()
+        return flat.view(dtype).reshape(n, w // item)
+    return np.vstack([np.frombuffer(v, dtype=dtype)
+                      for v in arr.to_pylist()])
+
+
 def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.9, bits: int = 8,
@@ -815,88 +837,108 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
     in VERDICT.md). Verification is size-gated like
     ``search_dictionary_many``: unit vectors ≤ ``broadcast_max_bytes``
     ship ONCE via ``ray.put`` and each bucket block verifies with one
-    matmul per bucket; bigger tables take the attach path — candidate
-    pairs deduped in-block, each side's vector joined on via a
-    tagged-union key sort (:func:`_attach_payload`), so a vector
-    crosses the wire once per pair side.
+    matmul per bucket, emitting each pair only from its CANONICAL
+    bucket (the numerically smallest bucket both sides probe — the
+    verifier holds both signatures, so cross-bucket duplicates die in
+    place and the post-verify all-to-all dedup sort disappears);
+    bigger tables take the attach path — candidate pairs deduped
+    in-block, each side's vector joined on via a tagged-union key sort
+    (:func:`_attach_payload`), so a vector crosses the wire once per
+    pair side. Signatures are computed once in the normalization pass
+    and ride the pinned units table as a uint64 column, so the bucket
+    stream is a trivial projection.
+
+    DF-cut nuance: buckets over ``max_bucket`` are skipped, and with
+    canonical-bucket dedup a pair whose canonical bucket is skipped is
+    lost even if a larger shared bucket survived — one more grain of
+    the recall/cost trade this operator already makes explicit.
     """
     from itertools import combinations
 
     from orchid_fst_ray.pipelines.similarity import _hyperplanes, _signatures
 
-    def to_units(t: pa.Table) -> pa.Table:
-        ids = _i64(t[id_col])
-        m = _vec_matrix(t[vec_col])
-        n = np.linalg.norm(m, axis=1)
-        n[n == 0] = 1.0
-        unit = (m / n[:, None]).astype(np.float32)
-        return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "unit": pa.array([v.tobytes() for v in unit],
-                             pa.large_binary()),
-        })
-
-    # units are consumed twice (probe stream + verification attach);
-    # pin them so normalization runs once
-    units = (ds.select_columns([id_col, vec_col])
-             .map_batches(to_units, batch_format="pyarrow").materialize())
+    # probe masks: identity + all bit-flips up to `multiprobe`
+    masks = [np.uint64(0)]
+    for r in range(1, multiprobe + 1):
+        for combo in combinations(range(bits), r):
+            acc = np.uint64(0)
+            for b in combo:
+                acc |= np.uint64(1) << np.uint64(b)
+            masks.append(acc)
+    masks_arr = np.asarray(masks, np.uint64)
 
     planes_holder: dict = {}
 
-    def to_buckets(t: pa.Table) -> pa.Table:
+    def to_units(t: pa.Table) -> pa.Table:
         ids = _i64(t[id_col])
         if len(ids) == 0:
             # don't cache planes off an empty batch (dim would be wrong
             # for every later batch in this worker) — just emit nothing
             return pa.table({
-                "bucket": pa.array([], pa.uint64()),
                 id_col: pa.array([], pa.int64()),
+                "unit": pa.array([], pa.large_binary()),
+                "sig": pa.array([], pa.uint64()),
             })
-        unit = np.vstack([np.frombuffer(v, dtype=np.float32)
-                          for v in t["unit"].to_pylist()]).astype(
-                              np.float64)
+        m = _vec_matrix(t[vec_col])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        unit = (m / n[:, None]).astype(np.float32)
         if "p" not in planes_holder:
             planes_holder["p"] = _hyperplanes(unit.shape[1], bits, seed)
-        sig = _signatures(unit, planes_holder["p"])
-        # probe masks: identity + all bit-flips up to `multiprobe`
-        masks = [np.uint64(0)]
-        for r in range(1, multiprobe + 1):
-            for combo in combinations(range(bits), r):
-                acc = np.uint64(0)
-                for b in combo:
-                    acc |= np.uint64(1) << np.uint64(b)
-                masks.append(acc)
-        out_bucket = [np.bitwise_xor(sig, mask) for mask in masks]
+        # sign bits off the float32-rounded units — identical to what a
+        # decode of the stored bytes would compute
+        sig = _signatures(unit.astype(np.float64), planes_holder["p"])
         return pa.table({
-            "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
-            id_col: pa.array(np.tile(ids, len(masks)), pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "unit": pa.array([v.tobytes() for v in unit],
+                             pa.large_binary()),
+            "sig": pa.array(sig, pa.uint64()),
         })
 
-    buckets = units.map_batches(to_buckets, batch_format="pyarrow")
+    # units are consumed twice (probe stream + verification attach);
+    # pin them so normalization + signatures run once — the bucket
+    # stream is then a trivial projection instead of a re-decode pass
+    units = (ds.select_columns([id_col, vec_col])
+             .map_batches(to_units, batch_format="pyarrow").materialize())
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ids = _i64(t[id_col])
+        sig = _i64(t["sig"], "uint64")
+        return pa.table({
+            "bucket": pa.array(
+                np.bitwise_xor(sig[None, :],
+                               masks_arr[:, None]).ravel(), pa.uint64()),
+            id_col: pa.array(np.tile(ids, len(masks_arr)), pa.int64()),
+        })
+
+    buckets = units.select_columns([id_col, "sig"]).map_batches(
+        to_buckets, batch_format="pyarrow")
     sorted_buckets = buckets.sort("bucket")
 
     if _ds_nbytes(units) <= broadcast_max_bytes:
         import ray
-        ids_l, unit_l = [], []
+        ids_l, unit_l, sig_l = [], [], []
         for t in units.iter_batches(batch_format="pyarrow"):
             if t.num_rows == 0:
                 continue
             ids_l.append(_i64(t[id_col]))
-            unit_l.append(np.vstack([
-                np.frombuffer(v, dtype=np.float32)
-                for v in t["unit"].to_pylist()]).astype(np.float64))
+            unit_l.append(_bin_matrix(t["unit"], np.float32).astype(
+                np.float64))
+            sig_l.append(_i64(t["sig"], "uint64"))
         all_ids = (np.concatenate(ids_l) if ids_l
                    else np.zeros(0, np.int64))
         all_unit = (np.vstack(unit_l) if unit_l
                     else np.zeros((0, 0), np.float64))
+        all_sig = (np.concatenate(sig_l) if sig_l
+                   else np.zeros(0, np.uint64))
         order = np.argsort(all_ids)
-        ref = ray.put((all_ids[order], all_unit[order]))
+        ref = ray.put((all_ids[order], all_unit[order], all_sig[order]))
 
         def block_verified(t: pa.Table) -> pa.Table:
-            lut_ids, lut_unit = ray.get(ref)   # zero-copy store read
+            lut_ids, lut_unit, lut_sig = ray.get(ref)  # store read
             ids = _i64(t[id_col])
             bucket = _i64(t["bucket"], "uint64")
-            ia, ib, cs = [], [], []
+            pa_l, pb_l, pc_l, pk_l = [], [], [], []
             bounds = np.concatenate((
                 [0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1,
                 [len(ids)]))
@@ -907,16 +949,36 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
                 unit = lut_unit[np.searchsorted(lut_ids, gi)]
                 cos = unit @ unit.T
                 iu, ju = np.nonzero(np.triu(cos >= threshold, k=1))
-                ia.extend(gi[iu].tolist())
-                ib.extend(gi[ju].tolist())
-                cs.extend(cos[iu, ju].tolist())
-            return pa.table({"id_a": pa.array(ia, pa.int64()),
-                             "id_b": pa.array(ib, pa.int64()),
-                             "cosine": pa.array(cs, pa.float64())})
+                pa_l.append(gi[iu])
+                pb_l.append(gi[ju])
+                pc_l.append(cos[iu, ju])
+                pk_l.append(np.full(len(iu), bucket[s], np.uint64))
+            if not pa_l:
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            ia = np.concatenate(pa_l)
+            ib = np.concatenate(pb_l)
+            cs = np.concatenate(pc_l)
+            bk = np.concatenate(pk_l)
+            # canonical-bucket dedup: a pair co-occurs in every bucket
+            # within `multiprobe` bits of BOTH signatures; emit it only
+            # from the numerically smallest such bucket, so the global
+            # pair stream is duplicate-free WITHOUT the post-verify
+            # all-to-all dedup sort the round-3 plan paid for
+            sig_a = lut_sig[np.searchsorted(lut_ids, ia)]
+            sig_b = lut_sig[np.searchsorted(lut_ids, ib)]
+            cand = np.bitwise_xor(sig_a[:, None], masks_arr[None, :])
+            ok = _popcount(np.bitwise_xor(cand, sig_b[:, None])) \
+                <= multiprobe
+            cand = np.where(ok, cand, np.uint64(0xFFFFFFFFFFFFFFFF))
+            keep = cand.min(axis=1) == bk
+            return pa.table({"id_a": pa.array(ia[keep], pa.int64()),
+                             "id_b": pa.array(ib[keep], pa.int64()),
+                             "cosine": pa.array(cs[keep], pa.float64())})
 
-        pairs = sorted_buckets.map_batches(
+        return sorted_buckets.map_batches(
             block_verified, batch_size=None, batch_format="pyarrow")
-        return _first_per_pair(pairs)
 
     # -------- attach path: vectors never materialize driver-side
     def bucket_pairs(t: pa.Table) -> pa.Table:
@@ -958,12 +1020,8 @@ def embedding_dup_pairs_lsh(ds, vec_col: str = "embedding",
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        ua = np.vstack([np.frombuffer(v, dtype=np.float32)
-                        for v in t["_unit_a"].to_pylist()]).astype(
-                            np.float64)
-        ub = np.vstack([np.frombuffer(v, dtype=np.float32)
-                        for v in t["_unit_b"].to_pylist()]).astype(
-                            np.float64)
+        ua = _bin_matrix(t["_unit_a"], np.float32).astype(np.float64)
+        ub = _bin_matrix(t["_unit_b"], np.float32).astype(np.float64)
         cos = np.einsum("ij,ij->i", ua, ub)
         keep = cos >= threshold
         ia = t["id_a"].to_numpy(zero_copy_only=False)[keep]

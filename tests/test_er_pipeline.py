@@ -200,3 +200,30 @@ def test_partial_resume_after_simulated_crash(ray_session, fixture, tmp_path):
     assert not stages["scored"] and not stages["clusters"]
     a2 = assignment_from_components(r2["assignment"])
     assert a1 == a2
+
+
+def test_pages_dataset_chunked_generation(ray_session, monkeypatch):
+    """The distributed large-n fixture path must produce exactly
+    n_pages globally-unique urls, the input_hint schema, and be
+    deterministic for a given (n_pages, seed)."""
+    import pyarrow as pa
+    import orchid_fst_ray.pipelines.fixtures as fx
+
+    monkeypatch.setattr(fx, "_CHUNKED_THRESHOLD", 500)
+    monkeypatch.setattr(fx, "_CHUNK_PAGES", 700)
+
+    def load(seed):
+        ds = fx.pages_dataset(2000, seed=seed, parallelism=4)
+        return pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow")))
+
+    t1 = load(42)
+    assert t1.num_rows == 2000
+    urls = t1["url"].to_pylist()
+    assert len(set(urls)) == 2000          # eid_offset keeps urls unique
+    assert [f.name for f in t1.schema] == ["url", "warc_ts", "html",
+                                           "text", "lang"]
+    t2 = load(42)
+    assert sorted(urls) == sorted(t2["url"].to_pylist())  # deterministic
+    t3 = load(43)
+    assert sorted(urls) != sorted(t3["url"].to_pylist())
