@@ -379,6 +379,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = similarity.ivf_ann_topk(_emb(sf_dir), [0, 7, 42], k=10)
         return res.select_columns(["query_id", "vec_id", "rank"])
 
+    def dedup_embedding_lsh_exhaustive(sf_dir: str):
+        """Embedding-LSH in its exhaustive configuration: with bits=1
+        every vector probes both buckets, so every pair is a candidate
+        and canonical-bucket emission must reproduce the brute-force
+        near-dup set EXACTLY — pins the banding + canonical-dedup
+        machinery with the same DuckDB oracle as ``dedup_embedding``."""
+        pairs = dedup.embedding_dup_pairs_lsh(_emb(sf_dir), threshold=0.4,
+                                              bits=1, multiprobe=1)
+        return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
     def ann_lsh_exhaustive(sf_dir: str):
         """LSH ANN in its exhaustive-probe configuration: multiprobe ==
         bits means every vector is within Hamming range of every query,
@@ -553,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_embedding_lsh_exhaustive": dedup_embedding_lsh_exhaustive,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1025,6 +1036,13 @@ _STOPS_FR_SQL = ("['le','la','les','et','est','un','une','pas','avec',"
                  "'de','du','des','que','pour']")
 
 
+_EMB_DUP_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.4
+    ORDER BY id_a, id_b"""
+
 _ANN_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe
                FROM embeddings WHERE vec_id IN (0, 7, 42)),
@@ -1238,12 +1256,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT node FROM labels
                                  WHERE mn < node)
             ORDER BY doc_id""",
-        "dedup_embedding": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) >= 0.4
-            ORDER BY id_a, id_b""",
+        "dedup_embedding": _EMB_DUP_SQL,
+        # bits=1 makes every vector probe both buckets: all pairs are
+        # candidates and canonical-bucket emission must reproduce the
+        # brute set exactly (float32 unit rounding stays ≥30x clear of
+        # the 0.4 boundary on these tables — verified at sf0.01/sf0.1)
+        "dedup_embedding_lsh_exhaustive": _EMB_DUP_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         # exhaustive-probe configurations (multiprobe == bits / a
         # single IVF cell) degenerate to brute force BY CONSTRUCTION,

@@ -309,9 +309,16 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
             key |= band[rep] << 40
         else:
             key |= band[rep] << 20
-        # hash-based factorize beats np.unique's argsort (the table
-        # lookup needs dedup, not sorted order)
-        inv, uk = pd.factorize(key)
+        # size-adaptive dedup: hash-based factorize beats np.unique's
+        # argsort on BIG frontiers (the table lookup needs dedup, not
+        # sorted order), but factorize carries ~45µs of fixed pandas
+        # overhead per call — on the small per-level frontiers of tiny
+        # blocking groups (thousands of levels per Ray block) that
+        # overhead alone dominated the probe stage
+        if len(key) < 4096:
+            uk, inv = np.unique(key, return_inverse=True)
+        else:
+            inv, uk = pd.factorize(key)
         res = np.empty(len(uk), np.int64)
         for ui in range(len(uk)):
             kk = int(uk[ui])

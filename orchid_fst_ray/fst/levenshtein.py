@@ -28,7 +28,7 @@ reference's golden suites)."""
 from __future__ import annotations
 
 __all__ = ["LevenshteinAutomaton", "DamerauLevenshteinAutomaton",
-           "levenshtein", "damerau_levenshtein_osa"]
+           "levenshtein", "damerau_levenshtein_osa", "banded_edit_leq"]
 
 _MISSING = object()
 
@@ -334,3 +334,82 @@ def damerau_levenshtein_osa(a: str, b: str) -> int:
                 v = min(v, d[i - 2][j - 2] + 1)
             d[i][j] = v
     return d[n][m]
+
+
+def banded_edit_leq(A: "np.ndarray", lena: "np.ndarray",
+                    B: "np.ndarray", lenb: "np.ndarray",
+                    d: int, damerau: bool) -> "np.ndarray":
+    """Vectorized pairwise "edit distance ≤ d" over MANY string pairs
+    at once: ``A``/``B`` are (n, W) uint32 codepoint matrices
+    (0-padded), ``lena``/``lenb`` the true lengths; returns a bool
+    mask. Distance semantics are exactly the automata above —
+    Levenshtein, or optimal-string-alignment when ``damerau``
+    (reference automaton.cpp:342-390) — via the same banded Ukkonen
+    recurrence (``row[j] ≥ |i-j|``, so cells outside ``[i-d, i+d]``
+    clamp at d+1). One python-level loop over rows × (2d+1) band
+    columns, every op an O(n) numpy kernel: the small-blocking-group
+    candidates path batches hundreds of groups' pairs through ONE call
+    instead of paying the per-level kernel cost per group.
+
+    Callers must pre-filter ``|lena - lenb| ≤ d`` (the result cell
+    lies outside the band otherwise)."""
+    import numpy as np
+    n = len(lena)
+    INF = np.int16(d + 1)
+    width = 2 * d + 1
+    out = np.zeros(n, bool)
+    if n == 0:
+        return out
+    res = np.full(n, INF, np.int16)
+    # row 0: D[0][j] = j for j in [0, d]
+    W = np.full((n, width), INF, np.int16)
+    for k in range(d, width):
+        j = k - d
+        W[:, k] = j
+        W[lenb < j, k] = INF
+    sel0 = lena == 0
+    res[sel0] = np.minimum(lenb[sel0], int(INF)).astype(np.int16)
+    Wpp = None                       # row i-2 (transpositions)
+    maxWA = A.shape[1]
+    maxWB = B.shape[1]
+    Lmax = int(lena.max())
+    zeros = np.zeros(n, np.uint32)
+    for i in range(1, Lmax + 1):
+        Wnew = np.full((n, width), INF, np.int16)
+        ai = A[:, i - 1] if i - 1 < maxWA else zeros
+        ai_prev = (A[:, i - 2] if (damerau and i >= 2
+                                   and i - 2 < maxWA) else None)
+        for k in range(width):
+            j = i - d + k
+            if j < 0 or j > int(lenb.max()):
+                continue
+            if j == 0:
+                # D[i][0] = i (reachable only while i ≤ d)
+                Wnew[:, k] = min(i, int(INF))
+                continue
+            cand = np.full(n, INF, np.int16)
+            if j - 1 < maxWB:
+                bj = B[:, j - 1]
+                np.minimum(cand, W[:, k] + (ai != bj), out=cand)
+            if k + 1 < width:
+                np.minimum(cand, W[:, k + 1] + 1, out=cand)
+            if (damerau and ai_prev is not None and j >= 2
+                    and j - 2 < maxWB and Wpp is not None):
+                tr = (ai == B[:, j - 2]) & (ai_prev == B[:, j - 1])
+                np.minimum(cand, np.where(tr, Wpp[:, k] + 1, INF),
+                           out=cand)
+            Wnew[:, k] = cand
+        for k in range(1, width):    # insertion scan along the band
+            np.minimum(Wnew[:, k], Wnew[:, k - 1] + 1, out=Wnew[:, k])
+        for k in range(width):       # cells beyond B's end are dead
+            j = i - d + k
+            if j >= 0:
+                Wnew[lenb < j, k] = INF
+        np.minimum(Wnew, INF, out=Wnew)
+        Wpp = W
+        W = Wnew
+        sel = np.flatnonzero(lena == i)
+        if len(sel):
+            kk = lenb[sel] - i + d
+            res[sel] = W[sel, kk]
+    return res <= d

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from orchid_fst_ray.fst import FstBuilder, fuzzy_automaton
+from orchid_fst_ray.fst import fuzzy_automaton
 from orchid_fst_ray.fst.builder import build_probe_trie
 from orchid_fst_ray.fst.batch_fuzzy import (MAX_BATCH_D,
                                             batch_fuzzy_matches,
@@ -81,12 +81,75 @@ def _expand_cross(counts: np.ndarray, offsets: np.ndarray,
     return ia_idx, ib_idx, pid
 
 
+# a blocking group at or below this many distinct keys goes through
+# the batched pairwise banded-DP (O(pairs) but one kernel invocation
+# for ALL small groups of a block); above it, automaton pruning on the
+# per-group trie wins
+_SMALL_HOST_KEYS = 128
+
+
+def _small_host_pairs(keys: np.ndarray, hseg: np.ndarray,
+                      small: np.ndarray, d: int, damerau: bool,
+                      cap: int | None,
+                      pair_chunk: int = 1 << 19) -> tuple[np.ndarray,
+                                                          np.ndarray]:
+    """Fuzzy self-join pairs for ALL small host segments of a block in
+    one vectorized pass: triangle-candidate pairs within each segment,
+    a |len diff| ≤ d prefilter (edit distance ≥ length difference),
+    then :func:`banded_edit_leq` over the survivors — pair-for-pair
+    identical to per-host trie probes (both collect every match, then
+    cap the ``cap`` smallest matched keys per query)."""
+    from orchid_fst_ray.fst.levenshtein import banded_edit_leq
+
+    sel = np.flatnonzero(small)
+    sizes = (hseg[1:] - hseg[:-1])[sel]
+    starts = hseg[:-1][sel]
+    tot = int(sizes.sum())
+    segs = np.concatenate(([0], np.cumsum(sizes))).astype(np.int64)
+    local = (np.arange(tot, dtype=np.int64)
+             - np.repeat(segs[:-1], sizes))
+    gidx = np.repeat(starts, sizes) + local     # compact → global rank
+    a_c, b_c = _run_triangle_indices(segs)
+    if not len(a_c):
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # codepoint matrix over the small-host keys only (numpy <U storage
+    # IS the 0-padded uint32 matrix)
+    ku = np.asarray(keys[gidx], dtype=str)
+    if ku.dtype.itemsize == 0:      # all-empty-key corner: no view
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    codes = ku.view(np.uint32).reshape(tot, -1)
+    lens = (codes != 0).sum(axis=1).astype(np.int64)
+    keep = np.abs(lens[a_c] - lens[b_c]) <= d
+    a_c, b_c = a_c[keep], b_c[keep]
+    ok_parts = []
+    for s in range(0, len(a_c), pair_chunk):
+        ac = a_c[s:s + pair_chunk]
+        bc = b_c[s:s + pair_chunk]
+        ok_parts.append(banded_edit_leq(
+            codes[ac], lens[ac], codes[bc], lens[bc], d, damerau))
+    ok = np.concatenate(ok_parts)
+    I = gidx[a_c[ok]]
+    J = gidx[b_c[ok]]
+    if cap is not None and len(I):
+        o = np.lexsort((J, I))
+        I, J = I[o], J[o]
+        bnd = np.concatenate(
+            ([0], np.flatnonzero(np.diff(I)) + 1, [len(I)]))
+        rank = np.arange(len(I)) - np.repeat(bnd[:-1], np.diff(bnd))
+        m = rank < cap
+        I, J = I[m], J[m]
+    return I, J
+
+
 class BlockCandidates:
-    """map_groups callable: one blocking-key group in (Arrow table),
-    candidate pairs out. Stateless per group; FST built per block,
-    probed by the batched level-synchronous prober. Arrow-native:
-    group sorts run in pyarrow C++ (the pandas sort/indexing path was
-    ~25% of the stage once the probe kernel was vectorized)."""
+    """Whole-block callable: a (host-sorted) Arrow block holding ANY
+    number of blocking-key groups in, candidate pairs out. One Arrow
+    C++ sort per block co-locates (host, key, id); exact-duplicate and
+    same-norm-url pairs are then triangle-expanded across ALL groups
+    at once, and only the fuzzy trie build + probe remains per host.
+    Round 3 ran this per group via ``groupby().map_groups`` — at 25k
+    hosts/1M pages the per-group Arrow slicing and sort machinery (not
+    the probes) dominated the stage."""
 
     def __init__(self, d: int = 2, damerau: bool = False,
                  same_prefix_len: int = 0,
@@ -103,22 +166,54 @@ class BlockCandidates:
         self.max_pairs_per_key = max_pairs_per_key
         self.url_col = url_col
 
+    def _fuzzy_group(self, keys: np.ndarray) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+        """(I, J) matched distinct-key index pairs for ONE host's
+        sorted distinct keys (build-probe-discard trie; the batched
+        level-synchronous prober when the query shape allows it)."""
+        fst = build_probe_trie(keys)
+        if self.same_prefix_len == 0 and self.d <= MAX_BATCH_D:
+            # pair-for-pair identical to the scalar loop below, ~4x
+            # faster (fst/batch_fuzzy.py)
+            return batch_self_join_pairs(
+                fst, list(keys), self.d, self.damerau,
+                self.max_pairs_per_key)
+        I: list[int] = []
+        J: list[int] = []
+        for idx, k in enumerate(keys):
+            aut = fuzzy_automaton(k, self.d, self.same_prefix_len,
+                                  self.damerau)
+            budget = self.max_pairs_per_key
+            for mk, midx in fst.search(aut):
+                if midx <= idx:
+                    continue  # symmetric: each pair once
+                I.append(idx)
+                J.append(midx)
+                budget -= 1
+                if budget <= 0:
+                    break
+        return np.asarray(I, np.int64), np.asarray(J, np.int64)
+
     def __call__(self, g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         key_col, id_col = self.key_col, self.id_col
         n = g.num_rows
         if n == 0:
             return _PAIR_SCHEMA_EMPTY()
-        block = g[self.block_col][0].as_py()
-        # CSR over distinct keys: rows sorted by (key, id); the sorted
-        # distinct keys double as the FST build order
-        order = pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
-                                              (id_col, "ascending")])
-        idf = g[id_col].take(order).to_numpy(zero_copy_only=False)
+        # CSR over distinct (host, key): rows sorted by
+        # (host, key, id); each host's sorted distinct keys double as
+        # its FST build order
+        order = pc.sort_indices(g, sort_keys=[
+            (self.block_col, "ascending"), (key_col, "ascending"),
+            (id_col, "ascending")])
+        bf = g[self.block_col].take(order).to_numpy(zero_copy_only=False)
         kf = g[key_col].take(order).to_numpy(zero_copy_only=False)
-        change = np.flatnonzero(kf[1:] != kf[:-1]) + 1
+        idf = g[id_col].take(order).to_numpy(zero_copy_only=False)
+        change = np.flatnonzero((bf[1:] != bf[:-1])
+                                | (kf[1:] != kf[:-1])) + 1
         bounds = np.concatenate(([0], change, [n])).astype(np.int64)
         keys = kf[bounds[:-1]]
+        khost = bf[bounds[:-1]]
         counts = bounds[1:] - bounds[:-1]
         offsets = bounds[:-1]
 
@@ -126,63 +221,74 @@ class BlockCandidates:
         b_parts: list[np.ndarray] = []
         ka_parts: list[np.ndarray] = []
         kb_parts: list[np.ndarray] = []
+        blk_parts: list[np.ndarray] = []
         src_parts: list[str] = []
 
-        if len(keys) > 1:
-            # build-probe-discard: vectorized trie construction (same
-            # language and key->rank map as the minimal builder, ~20x
-            # less build time); shipped FSTs (hot path, dictionaries)
-            # stay minimal
-            fst = build_probe_trie(keys)
-            if self.same_prefix_len == 0 and self.d <= MAX_BATCH_D:
-                # level-synchronous vectorized probe: all keys walk
-                # the FST together (fst/batch_fuzzy.py; pair-for-pair
-                # identical to the scalar loop below, ~4x faster)
-                I_arr, J_arr = batch_self_join_pairs(
-                    fst, list(keys), self.d, self.damerau,
-                    self.max_pairs_per_key)
-            else:
-                I: list[int] = []
-                J: list[int] = []
-                for idx, k in enumerate(keys):
-                    aut = fuzzy_automaton(k, self.d,
-                                          self.same_prefix_len,
-                                          self.damerau)
-                    budget = self.max_pairs_per_key
-                    for mk, midx in fst.search(aut):
-                        if midx <= idx:
-                            continue  # symmetric: each pair once
-                        I.append(idx)
-                        J.append(midx)
-                        budget -= 1
-                        if budget <= 0:
-                            break
-                I_arr = np.asarray(I, np.int64)
-                J_arr = np.asarray(J, np.int64)
-            if len(I_arr):
-                ia_idx, ib_idx, pid = _expand_cross(
-                    counts, offsets, I_arr, J_arr)
-                A, B = idf[ia_idx], idf[ib_idx]
-                KA = keys[I_arr[pid]]
-                KB = keys[J_arr[pid]]
-                swap = A > B
-                a_parts.append(np.where(swap, B, A))
-                b_parts.append(np.where(swap, A, B))
-                ka_parts.append(np.where(swap, KB, KA))
-                kb_parts.append(np.where(swap, KA, KB))
-                src_parts.append("fuzzy")
+        # fuzzy self-join per host segment of the distinct-key array.
+        # SMALL hosts (≤ _SMALL_HOST_KEYS distinct keys) batch across
+        # the whole block through one vectorized banded-DP pass over
+        # all their candidate pairs — per-host trie probes pay ~1.3 ms
+        # of fixed per-level kernel cost each, which dominated the
+        # stage at ~25k tiny hosts per million pages. Big hosts keep
+        # the trie + level-synchronous prober (the DP is O(pairs) and
+        # loses to automaton pruning as nk grows). A whole-block trie
+        # was tried and is 5x WORSE: the automaton explores every
+        # host's keys for every query.
+        I_arr = np.zeros(0, np.int64)
+        J_arr = np.zeros(0, np.int64)
+        hseg = np.concatenate(
+            ([0], np.flatnonzero(khost[1:] != khost[:-1]) + 1,
+             [len(keys)])).astype(np.int64)
+        batched_ok = (self.same_prefix_len == 0
+                      and self.d <= MAX_BATCH_D)
+        hsizes = hseg[1:] - hseg[:-1]
+        small = batched_ok & (hsizes <= _SMALL_HOST_KEYS) & (hsizes > 1)
+        I_all: list[np.ndarray] = []
+        J_all: list[np.ndarray] = []
+        if small.any():
+            Ii, Jj = _small_host_pairs(
+                keys, hseg, small, self.d, self.damerau,
+                self.max_pairs_per_key)
+            if len(Ii):
+                I_all.append(Ii)
+                J_all.append(Jj)
+        for si in np.flatnonzero(~small & (hsizes > 1)):
+            hs, he = int(hseg[si]), int(hseg[si + 1])
+            Ii, Jj = self._fuzzy_group(keys[hs:he])
+            if len(Ii):
+                I_all.append(Ii + hs)   # host-local → global ranks
+                J_all.append(Jj + hs)
+        if I_all:
+            I_arr = np.concatenate(I_all)
+            J_arr = np.concatenate(J_all)
+        if len(I_arr):
+            ia_idx, ib_idx, pid = _expand_cross(
+                counts, offsets, I_arr, J_arr)
+            A, B = idf[ia_idx], idf[ib_idx]
+            KA = keys[I_arr[pid]]
+            KB = keys[J_arr[pid]]
+            swap = A > B
+            a_parts.append(np.where(swap, B, A))
+            b_parts.append(np.where(swap, A, B))
+            ka_parts.append(np.where(swap, KB, KA))
+            kb_parts.append(np.where(swap, KA, KB))
+            blk_parts.append(khost[I_arr[pid]])
+            src_parts.append("fuzzy")
         # exact-duplicate doc_keys: all (i < j) id pairs within each
-        # key run (ids are sorted within each key by the CSR sort)
+        # (host, key) run — one triangle expansion across every group
+        # in the block (ids are sorted within each run by the CSR sort)
         if (counts > 1).any():
             a_idx, b_idx = _run_triangle_indices(bounds)
             a_parts.append(idf[a_idx])
             b_parts.append(idf[b_idx])
             ka_parts.append(kf[a_idx])
             kb_parts.append(kf[a_idx])
+            blk_parts.append(bf[a_idx])
             src_parts.append("fuzzy")
-        # same-normalized-url pairs fold into the same block pass
-        # (norm_url starts with the host, so they always co-group) —
-        # saves a whole extra sort over the docs table
+        # same-normalized-url pairs fold into the same block pass: a
+        # norm_url contains its host, so an equal-url run never spans
+        # hosts and one whole-block sort covers every group — saves a
+        # whole extra sort over the docs table
         if self.url_col is not None:
             uorder = pc.sort_indices(
                 g, sort_keys=[(self.url_col, "ascending"),
@@ -192,6 +298,8 @@ class BlockCandidates:
                 zero_copy_only=False)
             uidf = g[id_col].take(uorder).to_numpy(zero_copy_only=False)
             ukf = g[key_col].take(uorder).to_numpy(zero_copy_only=False)
+            ubf = g[self.block_col].take(uorder).to_numpy(
+                zero_copy_only=False)
             uchange = np.flatnonzero(uf[1:] != uf[:-1]) + 1
             ubounds = np.concatenate(([0], uchange, [n])).astype(np.int64)
             if ((ubounds[1:] - ubounds[:-1]) > 1).any():
@@ -200,6 +308,7 @@ class BlockCandidates:
                 b_parts.append(uidf[ub_idx])
                 ka_parts.append(ukf[ua_idx])
                 kb_parts.append(ukf[ub_idx])
+                blk_parts.append(ubf[ua_idx])
                 src_parts.append("url")
 
         if not a_parts:
@@ -207,7 +316,6 @@ class BlockCandidates:
         src = np.concatenate([
             np.full(len(p), s, dtype=object)
             for p, s in zip(a_parts, src_parts)])
-        total = sum(len(p) for p in a_parts)
         # return Arrow (not pandas) so unions with the hot/url paths
         # keep a homogeneous block type for downstream shuffles
         return pa.table({
@@ -215,7 +323,7 @@ class BlockCandidates:
             "url_b": pa.array(np.concatenate(b_parts), pa.string()),
             "key_a": pa.array(np.concatenate(ka_parts), pa.string()),
             "key_b": pa.array(np.concatenate(kb_parts), pa.string()),
-            "block_key": pa.array([block] * total, pa.string()),
+            "block_key": pa.array(np.concatenate(blk_parts), pa.string()),
             "source": pa.array(src, pa.string()),
         })
 
@@ -265,9 +373,17 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         hot_rows = sizes.filter(expr=f"n > {hot_block_rows}").take_all()
         hot_blocks = [r[block_col] for r in hot_rows]
 
+    # one range-partition sort co-locates each host; every block then
+    # processes ALL its (whole) hosts in one vectorized call — the
+    # per-group ``map_groups`` machinery dominated wall time at 25k
+    # mostly-tiny hosts. Ray's sort never splits equal keys across
+    # partitions (the invariant _equal_value_pairs/dedupe_pairs
+    # already rely on), and hot hosts (> hot_block_rows) are routed
+    # away below, so a normal block always holds its hosts whole.
     if not hot_blocks:
-        return (slim.groupby(block_col)
-                .map_groups(block_candidates, batch_format="pyarrow"))
+        return (slim.sort(block_col)
+                .map_batches(block_candidates, batch_size=None,
+                             batch_format="pyarrow"))
 
     hot_set = set(hot_blocks)
 
@@ -280,8 +396,9 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         return fn
 
     normal = (slim.map_batches(split(False), batch_format="pyarrow")
-              .groupby(block_col)
-              .map_groups(block_candidates, batch_format="pyarrow"))
+              .sort(block_col)
+              .map_batches(block_candidates, batch_size=None,
+                           batch_format="pyarrow"))
     hot = generate_hot_candidates(
         slim.map_batches(split(True), batch_format="pyarrow"),
         d=d, damerau=damerau, key_col=key_col, id_col=id_col,
@@ -317,7 +434,7 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             probe_concurrency=None,
                             url_col: str | None = None,
                             same_prefix_len: int = 0,
-                            shard_rows: int = 4096,
+                            shard_rows: int = 16384,
                             broadcast_max_bytes: int = 256 * 2 ** 20):
     """Mega-block fuzzy candidates: per hot block build SHARDED FSTs
     over its distinct keys — shard = stable hash(key) mod
@@ -398,16 +515,20 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         for k, u in zip(g[key_col].tolist(), g[id_col].tolist()):
             by_key.setdefault(k, []).append(u)
         keys = sorted(by_key)
-        # output-FST: value = key rank, so the batched prober can
-        # return match indices without tracking path strings
-        b = FstBuilder(has_output=True)
-        b.insert_many(keys, list(range(len(keys))))
-        # the key→ids map rides along with the FST: it is the same
+        # probe trie with value = key rank, so the batched prober can
+        # return match indices without tracking path strings. The
+        # vectorized trie builder (~20x less build time than the
+        # minimal streaming builder; roundtrip-parity pinned in
+        # test_batch_fuzzy) keeps per-task build cost low enough to
+        # run shard_rows at 16k — fewer shards means each probe key
+        # walks fewer FSTs, and probe work per hot block scales with
+        # keys × shards.
+        # The key→ids map rides along with the FST: it is the same
         # order of size (ids per key ~1-3), so expanding url pairs
         # IN the probe actors replaces two whole sort-merge joins.
         # The blob goes STRAIGHT to the object store from this task;
         # only the (block, nbytes, ref) triple travels to the driver.
-        fst_bytes = b.finish().to_bytes()
+        fst_bytes = build_probe_trie(np.asarray(keys)).to_bytes()
         ids_bytes = pickle.dumps(
             (keys, {k: sorted(v) for k, v in by_key.items()}))
         ref = ray.put((fst_bytes, ids_bytes))
@@ -611,7 +732,12 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
             Probe,
             fn_constructor_args=(grp_refs, d, damerau,
                                  max_pairs_per_key, same_prefix_len),
-            batch_format="pyarrow", batch_size=128,
+            # 1024 distinct keys per walk: each (block, shard) FST is
+            # probed once per batch, so bigger batches amortize the
+            # level-synchronous prober's per-level kernel cost (the
+            # prober still chunks internally at 256 queries to bound
+            # frontier blowup); 128 left the hot path walk-bound
+            batch_format="pyarrow", batch_size=1024,
             concurrency=(max(1, minc // max(1, len(groups))), maxc),
             num_cpus=1))
     if not group_outs:

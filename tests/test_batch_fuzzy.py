@@ -217,3 +217,78 @@ def test_build_probe_trie_equivalence():
         c = batch_self_join_pairs(f2, list(keys), 2, True, 64)
         assert (sorted(zip(a[0].tolist(), a[1].tolist()))
                 == sorted(zip(c[0].tolist(), c[1].tolist()))), trial
+
+
+def test_small_host_dp_equals_trie_probes():
+    """The batched pairwise banded-DP path for small blocking groups
+    must be pair-for-pair identical to per-group trie probes (same
+    match set, same per-query cap semantics) across distances and
+    both distance flavors — dense short-alphabet keys make near-matches
+    common."""
+    import random
+
+    import numpy as np
+
+    from orchid_fst_ray.fst.builder import build_probe_trie
+    from orchid_fst_ray.fst.batch_fuzzy import batch_self_join_pairs
+    from orchid_fst_ray.stages.candidates import _small_host_pairs
+
+    rnd = random.Random(7)
+
+    def rkey():
+        return "".join(rnd.choice("abcdef")
+                       for _ in range(rnd.randrange(1, 12)))
+
+    for d in (1, 2, 3):
+        for damerau in (False, True):
+            hseg = [0]
+            keys: list[str] = []
+            for _ in range(25):
+                ks = sorted({rkey() for _ in range(rnd.randrange(2, 30))})
+                keys.extend(ks)
+                hseg.append(len(keys))
+            karr = np.asarray(keys, dtype=object)
+            seg = np.asarray(hseg, np.int64)
+            small = np.ones(25, bool)
+            # cap=3 exercises the budget path, None the uncapped one
+            for cap in (None, 3):
+                I1, J1 = _small_host_pairs(karr, seg, small, d,
+                                           damerau, cap)
+                ref = []
+                for hs, he in zip(seg[:-1], seg[1:]):
+                    fst = build_probe_trie(karr[hs:he])
+                    qi, mv = batch_self_join_pairs(
+                        fst, list(karr[hs:he]), d, damerau, cap)
+                    ref.extend(zip((qi + hs).tolist(),
+                                   (mv + hs).tolist()))
+                assert sorted(zip(I1.tolist(), J1.tolist())) \
+                    == sorted(ref), (d, damerau, cap)
+
+
+def test_probe_trie_serialization_parity():
+    """The vectorized probe trie must survive to_bytes/from_bytes and
+    probe identically to the minimal output-FST over the same keys —
+    the hot-candidates path ships trie blobs through the object
+    store."""
+    import random
+
+    import numpy as np
+
+    from orchid_fst_ray.fst import Fst, FstBuilder
+    from orchid_fst_ray.fst.builder import build_probe_trie
+    from orchid_fst_ray.fst.batch_fuzzy import batch_fuzzy_matches
+
+    rnd = random.Random(3)
+    keys = sorted({"".join(rnd.choice("abcdefgh")
+                           for _ in range(rnd.randrange(2, 14)))
+                   for _ in range(1200)})
+    b = FstBuilder(has_output=True)
+    b.insert_many(keys, list(range(len(keys))))
+    f_min = Fst.from_bytes(b.finish().to_bytes())
+    f_trie = Fst.from_bytes(build_probe_trie(np.asarray(keys)).to_bytes())
+    probes = [rnd.choice(keys) for _ in range(150)]
+    for dam in (False, True):
+        q1, m1 = batch_fuzzy_matches(f_min, probes, 2, dam)
+        q2, m2 = batch_fuzzy_matches(f_trie, probes, 2, dam)
+        assert sorted(zip(q1.tolist(), m1.tolist())) \
+            == sorted(zip(q2.tolist(), m2.tolist()))
