@@ -332,7 +332,7 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         key_col: str = "doc_key", id_col: str = "url",
                         block_col: str = "host",
                         max_pairs_per_key: int = 64,
-                        hot_block_rows: int | None = 5000,
+                        hot_block_rows: int | None = 50_000,
                         num_partitions: int = 16,
                         url_col: str | None = None,
                         same_prefix_len: int = 0):
@@ -343,6 +343,14 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     per hot block, broadcast via ``ray.put``, probed by an actor pool —
     so a hot host parallelizes across the cluster instead of
     serializing in one giant group task (SURVEY.md §4.2 skew handling).
+
+    ``hot_block_rows`` marks the point where a host is too big for ONE
+    group task — 50k keys probe in ~1-2 s with the batched prober, so
+    only genuinely huge hosts should pay the broadcast machinery (its
+    shard/build/probe plan carries several pipeline barriers and an
+    actor-pool ramp of fixed wall, which at the old 5k threshold was
+    the candidates stage's dominant non-scaling term: the 1M-page
+    fixture spent 15 s there on 12 hosts the normal path now absorbs).
 
     ``url_col``: also emit exact same-normalized-url pairs
     (``source='url'``) within the same block pass.
@@ -368,10 +376,14 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     hot_blocks: list = []
     if hot_block_rows is not None:
         from ray.data.aggregate import Count
-        sizes = slim.groupby(block_col).aggregate(Count(alias_name="n"))
+        # count on the PROJECTED key column only — grouping the whole
+        # slim table shuffled all four columns just to count rows
+        sizes = (slim.select_columns([block_col])
+                 .groupby(block_col).aggregate(Count(alias_name="n")))
         # only the (few) hot block names come to the driver
         hot_rows = sizes.filter(expr=f"n > {hot_block_rows}").take_all()
         hot_blocks = [r[block_col] for r in hot_rows]
+        hot_sizes = {r[block_col]: int(r["n"]) for r in hot_rows}
 
     # one range-partition sort co-locates each host; every block then
     # processes ALL its (whole) hosts in one vectorized call — the
@@ -403,7 +415,8 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         slim.map_batches(split(True), batch_format="pyarrow"),
         d=d, damerau=damerau, key_col=key_col, id_col=id_col,
         block_col=block_col, max_pairs_per_key=max_pairs_per_key,
-        url_col=url_col, same_prefix_len=same_prefix_len)
+        url_col=url_col, same_prefix_len=same_prefix_len,
+        block_sizes=hot_sizes)
     return normal.union(hot)
 
 
@@ -435,7 +448,8 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             url_col: str | None = None,
                             same_prefix_len: int = 0,
                             shard_rows: int = 16384,
-                            broadcast_max_bytes: int = 256 * 2 ** 20):
+                            broadcast_max_bytes: int = 256 * 2 ** 20,
+                            block_sizes: dict | None = None):
     """Mega-block fuzzy candidates: per hot block build SHARDED FSTs
     over its distinct keys — shard = stable hash(key) mod
     ceil(rows / shard_rows), so one mega-host never serializes its
@@ -494,12 +508,18 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
 
     # shard assignment: same key → same shard (ids maps stay whole);
     # shard count scales with block size so FST-build work per task is
-    # bounded by ~shard_rows however hot the block is
-    from ray.data.aggregate import Count
-    shard_counts = {
-        r[block_col]: max(1, -(-int(r["n"]) // shard_rows))
-        for r in (docs_small.groupby(block_col)
-                  .aggregate(Count(alias_name="n")).take_all())}
+    # bounded by ~shard_rows however hot the block is. The caller's
+    # hot-detection counts are reused when provided — recounting here
+    # cost a whole extra groupby barrier per run.
+    if block_sizes is None:
+        from ray.data.aggregate import Count
+        block_sizes = {
+            r[block_col]: int(r["n"])
+            for r in (docs_small.select_columns([block_col])
+                      .groupby(block_col)
+                      .aggregate(Count(alias_name="n")).take_all())}
+    shard_counts = {blk: max(1, -(-int(nn) // shard_rows))
+                    for blk, nn in block_sizes.items()}
 
     def add_shard(t: pa.Table) -> pa.Table:
         from zlib import crc32
