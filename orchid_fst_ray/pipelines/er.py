@@ -38,7 +38,7 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
            input_fingerprint: str = "",
            num_partitions: int = 16,
            scorer_concurrency=(2, 8),
-           hot_block_rows: int | None = 50_000,
+           hot_block_rows: int | None = 4096,
            cluster_driver_threshold: int = 200_000,
            stage_metrics: bool = False) -> dict:
     """Run the pipeline; returns dict with ``assignment`` (url,

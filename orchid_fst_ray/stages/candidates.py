@@ -121,6 +121,8 @@ def _small_host_pairs(keys: np.ndarray, hseg: np.ndarray,
     lens = (codes != 0).sum(axis=1).astype(np.int64)
     keep = np.abs(lens[a_c] - lens[b_c]) <= d
     a_c, b_c = a_c[keep], b_c[keep]
+    if not len(a_c):    # every candidate pair length-prefiltered away
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     ok_parts = []
     for s in range(0, len(a_c), pair_chunk):
         ac = a_c[s:s + pair_chunk]
@@ -332,7 +334,7 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         key_col: str = "doc_key", id_col: str = "url",
                         block_col: str = "host",
                         max_pairs_per_key: int = 64,
-                        hot_block_rows: int | None = 50_000,
+                        hot_block_rows: int | None = 4096,
                         num_partitions: int = 16,
                         url_col: str | None = None,
                         same_prefix_len: int = 0):
@@ -345,12 +347,14 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     serializing in one giant group task (SURVEY.md §4.2 skew handling).
 
     ``hot_block_rows`` marks the point where a host is too big for ONE
-    group task — 50k keys probe in ~1-2 s with the batched prober, so
-    only genuinely huge hosts should pay the broadcast machinery (its
-    shard/build/probe plan carries several pipeline barriers and an
-    actor-pool ramp of fixed wall, which at the old 5k threshold was
-    the candidates stage's dominant non-scaling term: the 1M-page
-    fixture spent 15 s there on 12 hosts the normal path now absorbs).
+    group task. Probe cost is SUPERLINEAR in host keys on
+    near-dup-dense blocks (measured: 6k rows ≈ 1.5 s but 18k ≈ 9 s),
+    so the threshold bounds the normal path's straggler task at ~1 s
+    and everything above it takes the parallel sharded-FST path —
+    whose fixed wall (build barrier + actor ramp) is now small enough
+    (ref-only blobs, Arrow-IPC decode, fine-grained probe stream)
+    that routing a handful of hosts through it beats one multi-second
+    serial probe at every fixture size measured (250k/500k/1M).
 
     ``url_col``: also emit exact same-normalized-url pairs
     (``source='url'``) within the same block pass.
@@ -375,15 +379,37 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
 
     hot_blocks: list = []
     if hot_block_rows is not None:
-        from ray.data.aggregate import Count
-        # count on the PROJECTED key column only — grouping the whole
-        # slim table shuffled all four columns just to count rows
-        sizes = (slim.select_columns([block_col])
-                 .groupby(block_col).aggregate(Count(alias_name="n")))
-        # only the (few) hot block names come to the driver
-        hot_rows = sizes.filter(expr=f"n > {hot_block_rows}").take_all()
-        hot_blocks = [r[block_col] for r in hot_rows]
-        hot_sizes = {r[block_col]: int(r["n"]) for r in hot_rows}
+        # partial-count combiner instead of a groupby barrier: each
+        # block contributes per-host counts ABOVE hot_block_rows /
+        # n_blocks, and the driver sums the survivors. Rows reaching
+        # the driver stay bounded by N·B/hot_block_rows instead of
+        # one row per distinct host. The summed count can miss up to
+        # cutoff rows per block, so detection is guaranteed for any
+        # host ≥ 2× the threshold and best-effort in (1×, 2×) — the
+        # threshold is a serial-work bound, and the normal path
+        # absorbs a ≤ 2× host at ≤ ~2× the target task wall. The full
+        # groupby shuffle this replaces was a serial-prefix barrier
+        # ahead of every candidates run.
+        cutoff = max(1, hot_block_rows // max(1, slim.num_blocks()))
+
+        def _partial_counts(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            agg = pa.TableGroupBy(
+                t.select([block_col]), block_col).aggregate(
+                    [([], "count_all")])
+            agg = agg.rename_columns([block_col, "n"])
+            return agg.filter(pc.greater(agg["n"], cutoff))
+
+        hot_sizes: dict = {}
+        for part in (slim.select_columns([block_col])
+                     .map_batches(_partial_counts, batch_size=None,
+                                  batch_format="pyarrow")
+                     .take_all()):
+            blk, nn = part[block_col], int(part["n"])
+            hot_sizes[blk] = hot_sizes.get(blk, 0) + nn
+        hot_sizes = {blk: nn for blk, nn in hot_sizes.items()
+                     if nn > hot_block_rows}
+        hot_blocks = sorted(hot_sizes)
 
     # one range-partition sort co-locates each host; every block then
     # processes ALL its (whole) hosts in one vectorized call — the
@@ -392,8 +418,23 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     # partitions (the invariant _equal_value_pairs/dedupe_pairs
     # already rely on), and hot hosts (> hot_block_rows) are routed
     # away below, so a normal block always holds its hosts whole.
+    #
+    # Sort fan-out: the sort's reducer count equals its input block
+    # count, and probe work per block is SKEWED (pair density, not
+    # rows), so inheriting the upstream block count (often ≈ #input
+    # files) leaves the probe stage with a handful of multi-second
+    # straggler tasks — measured at 500k pages the stage burned 75 s
+    # of CPU across 16 tasks with a 12 s max while 32 CPUs idled.
+    # 2 tasks per CPU bounds the straggler tail at roughly the
+    # largest sub-threshold host's probe cost.
+    def _sort_fanout(ds) -> int:
+        import ray
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        return max(num_partitions, 2 * n_cpu)
+
     if not hot_blocks:
-        return (slim.sort(block_col)
+        return (slim.repartition(_sort_fanout(slim))
+                .sort(block_col)
                 .map_batches(block_candidates, batch_size=None,
                              batch_format="pyarrow"))
 
@@ -408,6 +449,7 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
         return fn
 
     normal = (slim.map_batches(split(False), batch_format="pyarrow")
+              .repartition(_sort_fanout(slim))
               .sort(block_col)
               .map_batches(block_candidates, batch_size=None,
                            batch_format="pyarrow"))
@@ -447,7 +489,7 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             probe_concurrency=None,
                             url_col: str | None = None,
                             same_prefix_len: int = 0,
-                            shard_rows: int = 16384,
+                            shard_rows: int = 32768,
                             broadcast_max_bytes: int = 256 * 2 ** 20,
                             block_sizes: dict | None = None):
     """Mega-block fuzzy candidates: per hot block build SHARDED FSTs
@@ -530,27 +572,36 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         return t.append_column("shard", pa.array(shard, pa.int32()))
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
-        import pickle
-        by_key: dict[str, list] = {}
-        for k, u in zip(g[key_col].tolist(), g[id_col].tolist()):
-            by_key.setdefault(k, []).append(u)
-        keys = sorted(by_key)
         # probe trie with value = key rank, so the batched prober can
         # return match indices without tracking path strings. The
         # vectorized trie builder (~20x less build time than the
         # minimal streaming builder; roundtrip-parity pinned in
-        # test_batch_fuzzy) keeps per-task build cost low enough to
-        # run shard_rows at 16k — fewer shards means each probe key
-        # walks fewer FSTs, and probe work per hot block scales with
+        # test_batch_fuzzy) keeps per-task build cost bounded at the
+        # shard_rows cap — fewer shards means each probe key walks
+        # fewer FSTs, and probe work per hot block scales with
         # keys × shards.
-        # The key→ids map rides along with the FST: it is the same
-        # order of size (ids per key ~1-3), so expanding url pairs
-        # IN the probe actors replaces two whole sort-merge joins.
+        # The key→id rows ride along with the FST as an Arrow IPC
+        # stream sorted by (key, id): ids per key ~1-3, so the table
+        # is the same order of size as the blob, and expanding url
+        # pairs IN the probe actors replaces two whole sort-merge
+        # joins. IPC (not pickle-of-dicts) matters because EVERY pool
+        # actor decodes every blob in __init__ — the dict roundtrip
+        # was ~1 s of per-actor CPU × pool size at 6 hot hosts.
         # The blob goes STRAIGHT to the object store from this task;
         # only the (block, nbytes, ref) triple travels to the driver.
-        fst_bytes = build_probe_trie(np.asarray(keys)).to_bytes()
-        ids_bytes = pickle.dumps(
-            (keys, {k: sorted(v) for k, v in by_key.items()}))
+        import pyarrow.compute as pc
+        t = pa.table({
+            key_col: pa.array(g[key_col].tolist(), pa.large_string()),
+            id_col: pa.array(g[id_col].tolist(), pa.large_string())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"),
+                          (id_col, "ascending")]))
+        uniq = np.unique(np.asarray(g[key_col].tolist(), dtype=str))
+        fst_bytes = build_probe_trie(uniq).to_bytes()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        ids_bytes = sink.getvalue().to_pybytes()
         ref = ray.put((fst_bytes, ids_bytes))
         return pd.DataFrame({
             block_col: [g[block_col].iloc[0]],
@@ -579,13 +630,15 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
     class Probe:
         def __init__(self, refs_by_block, d, damerau, cap,
                      same_prefix_len=0):
-            import pickle
             from orchid_fst_ray.fst import Fst
             # blk → [(fst, shard_keys, shard_key_gidx), ...]; the
-            # merged key→ids map becomes a CSR over the SORTED block
+            # merged key→id table becomes a CSR over the SORTED block
             # keys so the emit path is pure numpy gathers. Shard key
             # sets are disjoint (same key always hashes to the same
-            # shard), so the merge is a plain union.
+            # shard), so the merge is a plain union. Decode is
+            # vectorized end-to-end (Arrow IPC → numpy unique /
+            # lexsort): every pool actor pays it per blob in __init__,
+            # so per-element Python here multiplied by pool size.
             flat = [(blk, r) for blk, refs in refs_by_block.items()
                     for r in refs]
             blobs = ray.get([r for _, r in flat]) if flat else []
@@ -595,27 +648,37 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
             self.shards: dict[str, list] = {}
             self.index: dict[str, tuple] = {}
             for blk, shard_blobs in raw.items():
-                merged: dict[str, list] = {}
                 decoded = []
+                shard_tables = []
                 for fb, ib in shard_blobs:
-                    keys, by_key = pickle.loads(ib)
-                    decoded.append((Fst.from_bytes(fb), keys))
-                    merged.update(by_key)
-                keys_sorted = np.array(sorted(merged))
-                id_counts = np.array(
-                    [len(merged[k]) for k in keys_sorted], np.int64)
+                    shard_tables.append(
+                        pa.ipc.open_stream(pa.BufferReader(ib))
+                        .read_all())
+                    decoded.append(Fst.from_bytes(fb))
+                allt = pa.concat_tables(shard_tables)
+                keys_np = np.asarray(allt.column(0).to_pylist(),
+                                     dtype=object)
+                ids_np = np.asarray(allt.column(1).to_pylist(),
+                                    dtype=object)
+                # shards are each (key, id)-sorted; the union needs
+                # one global lexsort so the CSR runs are contiguous
+                order = np.lexsort((ids_np, keys_np))
+                keys_np, flat_ids = keys_np[order], ids_np[order]
+                keys_sorted, id_counts = np.unique(keys_np,
+                                                   return_counts=True)
+                id_counts = id_counts.astype(np.int64)
                 id_offsets = np.concatenate(
                     ([0], np.cumsum(id_counts)[:-1])).astype(np.int64)
-                flat_ids = np.array(
-                    [u for k in keys_sorted for u in merged[k]],
-                    dtype=object)
                 self.index[blk] = (keys_sorted, id_counts, id_offsets,
                                    flat_ids)
-                self.shards[blk] = [
-                    (fst, skeys,
-                     np.searchsorted(keys_sorted, np.array(skeys))
-                     if skeys else np.zeros(0, np.int64))
-                    for fst, skeys in decoded]
+                shards = []
+                for fst, st in zip(decoded, shard_tables):
+                    sk = np.unique(np.asarray(st.column(0).to_pylist(),
+                                              dtype=object))
+                    shards.append((fst, sk,
+                                   np.searchsorted(keys_sorted, sk)
+                                   if len(sk) else np.zeros(0, np.int64)))
+                self.shards[blk] = shards
             self.d = d
             self.damerau = damerau
             self.cap = cap
@@ -730,7 +793,18 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                 return _PAIR_SCHEMA_EMPTY()
             return pa.concat_tables(parts)
 
-    probe_src = docs_small.select_columns([block_col, key_col])
+    # fine-grained probe tasks: the probe stream inherits the upstream
+    # block count (often ≈ #input files), which at 16 blocks left the
+    # pool half-idle behind 2-3 s straggler tasks; ~2 tasks per actor
+    # slot keeps the pool packed while the actors ramp. Materialized
+    # ONCE because every bin-packed group branch consumes it — lazy,
+    # each branch re-runs the repartition shuffle, and N concurrent
+    # AllToAlls + N actor pools deadlocked a small test cluster. The
+    # pinned stream is 2 narrow columns over hot rows only (spillable
+    # blocks, never driver memory).
+    n_cpu_total = int(ray.cluster_resources().get("CPU", 8))
+    probe_src = (docs_small.select_columns([block_col, key_col])
+                 .repartition(2 * n_cpu_total).materialize())
     group_outs = []
     if isinstance(probe_concurrency, int):
         minc = maxc = probe_concurrency

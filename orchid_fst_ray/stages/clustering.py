@@ -164,15 +164,14 @@ def connected_components(edges_ds, node_a: str = "url_a",
     if n_edges <= driver_threshold:
         return _driver_components(edges, seeds)
 
-    # bucket count targets ~500k directed edge rows per bucket (the
-    # edges table above holds both directions), capped at
-    # num_partitions: every BSP wave launches 2n tasks with one
-    # synchronization, so oversizing n on a modest graph buys no
-    # parallelism and pays pure wave latency — measured at 1M pages
-    # (1.3M undirected edges) the n=16 loop took 2x the n=8 loop's
-    # wall. num_partitions stays the SKEW/CAPACITY ceiling: huge
-    # graphs still fan out to the full cluster.
-    n = max(2, min(num_partitions, -(-n_edges // 500_000)))
+    # bucket count targets ~200k directed edge rows per bucket (the
+    # edges table above holds both directions — a single-threaded
+    # wave task handles 200k rows in ~0.3 s), capped at
+    # num_partitions: every BSP wave launches 2n single-core tasks
+    # with one synchronization, so oversizing n on a tiny graph pays
+    # pure wave latency. num_partitions stays the SKEW/CAPACITY
+    # ceiling: huge graphs still fan out to the full cluster.
+    n = max(2, min(num_partitions, -(-n_edges // 200_000)))
     label_refs = _bsp_components(edges, n, max_iters)
 
     # Seeds that never appear in an edge are singletons and cannot
@@ -209,68 +208,217 @@ def _concat_task(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
     return pa.concat_tables(live) if live else _empty(schema)
 
 
+# The loop runs DICT-ENCODED: node strings are translated to dense
+# int64 ids once up front (3 task waves), every propagation round then
+# joins/aggregates 16-byte rows with modulo routing (id % n IS the
+# owner bucket — no hashing at all inside the loop), and ids translate
+# back to strings once at the end (2 waves + concat). String kernels
+# were the loop's whole cost profile: hash joins over varlen url keys
+# burned 5-10x the CPU of the int64 equivalents and shipped 60-80 B
+# rows where the int loop ships 16 B.
+#
+# id = local_rank * n + bucket, where bucket = _bucket_of(node) — an
+# arbitrary (NOT order-preserving) bijection. Min-label propagation
+# only needs SOME total order to converge, and the decode pass
+# restores the user-facing semantics (cluster_id = lexicographic min
+# node string of the component) with one per-component string min —
+# ids never leak out of _bsp_components.
+#
+# All wave kernels run ``use_threads=False``: a wave task reserves ONE
+# Ray CPU, and letting Arrow fan a join/groupby onto its
+# process-global pool (sized by whatever task first touched it — 32
+# threads after a busy Ray Data session) had n concurrent wave tasks
+# × pool-size threads thrashing: measured 5-8x more CPU burned per
+# join for a 4-6x wall regression. Single-threaded kernels keep
+# one-task-one-core true at every cluster size — wave parallelism
+# comes from the n buckets, not from intra-task pools.
+
+_EDGE_I64 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_LABEL_I64 = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+_VOCAB_SCHEMA = pa.schema([("v", pa.string())])
+_REQ_SCHEMA = pa.schema([("dst", pa.string())])
+_ANS_SCHEMA = pa.schema([("id", pa.int64())])
+_STATE_SCHEMA = pa.schema([("src_id", pa.int64()), ("pos", pa.int64())])
+_DEC_SCHEMA = pa.schema([("node", pa.string()), ("label_id", pa.int64())])
+
+
+def _i64(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _split_by_mod(t: pa.Table, col: str, n: int) -> list[pa.Table]:
+    """Split an int64-keyed table by ``key % n`` — exact ownership, no
+    hash: id = rank * n + bucket, so id % n recovers the bucket."""
+    if t.num_rows == 0:
+        return [t] * n
+    b = _i64(t[col]) % n
+    order = np.argsort(b, kind="stable")
+    st = t.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(n + 1))
+    return [st.slice(bounds[k], bounds[k + 1] - bounds[k])
+            for k in range(n)]
+
+
+def _encode_local_task(edge_bucket: pa.Table, n: int, b: int):
+    """Bucket b of the string edges → its vocab (distinct srcs, in
+    pc.unique's arbitrary-but-stable order), the src-id/row-order
+    state, and per-owner dst lookup requests. Every node appears as
+    src in exactly its own bucket (edges are symmetrized and routed by
+    hash(src)), so dst ids are resolved by one request/answer exchange
+    instead of broadcasting vocabularies."""
+    import pyarrow.compute as pc
+    if edge_bucket.num_rows == 0:
+        return ([_empty(_VOCAB_SCHEMA), _empty(_STATE_SCHEMA)]
+                + [_empty(_REQ_SCHEMA)] * n)
+    srcs = edge_bucket["src"].combine_chunks().cast(pa.string())
+    vocab = pc.unique(srcs)
+    src_id = (_i64(pc.index_in(srcs, value_set=vocab).cast(pa.int64()))
+              * n + b)
+    owner = _bucket_of(edge_bucket["dst"], n)
+    order = np.argsort(owner, kind="stable").astype(np.int64)
+    dst_sorted = (edge_bucket["dst"].combine_chunks().cast(pa.string())
+                  .take(pa.array(order)))
+    bounds = np.searchsorted(owner[order], np.arange(n + 1))
+    reqs = [pa.table({"dst": dst_sorted.slice(
+        bounds[k], bounds[k + 1] - bounds[k])}) for k in range(n)]
+    state = pa.table({"src_id": pa.array(src_id, pa.int64()),
+                      "pos": pa.array(order, pa.int64())})
+    return [pa.table({"v": vocab}), state] + reqs
+
+
+def _encode_answer_task(vocab_table: pa.Table, n: int, o: int,
+                        *reqs: pa.Table):
+    """Owner bucket o answers id lookups: id = rank-in-vocab * n + o."""
+    import pyarrow.compute as pc
+    vocab = vocab_table["v"].combine_chunks()
+    outs = []
+    for r in reqs:
+        if r.num_rows == 0:
+            outs.append(_empty(_ANS_SCHEMA))
+            continue
+        rank = pc.index_in(r["dst"].combine_chunks(), value_set=vocab)
+        if rank.null_count:
+            # must survive python -O: a dst every one of whose edges
+            # routed elsewhere would silently mis-encode
+            raise RuntimeError(
+                "BSP encode: dst node missing from its owner bucket's "
+                "vocabulary — routing invariant violated")
+        outs.append(pa.table({
+            "id": pa.array(_i64(rank.cast(pa.int64())) * n + o,
+                           pa.int64())}))
+    return outs
+
+
+def _encode_finish_task(state: pa.Table, *answers: pa.Table) -> pa.Table:
+    """Zip the per-owner id answers back into original row order →
+    the bucket's int64 edge table."""
+    m = state.num_rows
+    if m == 0:
+        return _empty(_EDGE_I64)
+    ids = np.concatenate([_i64(a["id"]) for a in answers if a.num_rows])
+    dst_id = np.empty(m, np.int64)
+    dst_id[_i64(state["pos"])] = ids
+    return pa.table({"src": state["src_id"],
+                     "dst": pa.array(dst_id, pa.int64())})
+
+
 def _init_labels_task(edge_bucket: pa.Table) -> pa.Table:
     """labels₀(src) = min(src, min dst over src's edges)."""
     if edge_bucket.num_rows == 0:
-        return _empty(_LABEL_SCHEMA)
-    agg = pa.TableGroupBy(edge_bucket, "src").aggregate([("dst", "min")])
-    import pyarrow.compute as pc
-    lab = pc.min_element_wise(agg["src"].combine_chunks().cast(pa.string()),
-                              agg["dst_min"].combine_chunks().cast(
-                                  pa.string()))
-    return pa.table({"node": agg["src"].combine_chunks().cast(pa.string()),
-                     "label": lab})
+        return _empty(_LABEL_I64)
+    agg = pa.TableGroupBy(edge_bucket, "src",
+                          use_threads=False).aggregate([("dst", "min")])
+    src = _i64(agg["src"])
+    lab = np.minimum(src, _i64(agg["dst_min"]))
+    return pa.table({"node": pa.array(src, pa.int64()),
+                     "label": pa.array(lab, pa.int64())})
 
 
 def _join_wave_task(edge_bucket: pa.Table, labels_j: pa.Table, n: int,
                     *jump_parts: pa.Table) -> list[pa.Table]:
     """Messages for one bucket: (edges ∪ pointer-jump edges) ⋈ labels,
-    combined to min label per destination, routed by hash(dst)."""
-    edges = _concat_task(_EDGE_SCHEMA, edge_bucket, *jump_parts)
+    combined to min label per destination, routed by dst % n."""
+    edges = _concat_task(_EDGE_I64, edge_bucket, *jump_parts)
     if edges.num_rows == 0 or labels_j.num_rows == 0:
-        return [_empty(_LABEL_SCHEMA)] * n
+        return [_empty(_LABEL_I64)] * n
     lab = labels_j.rename_columns(["src", "label"])
-    j = edges.join(lab, keys="src", join_type="inner")
-    msgs = pa.table({
-        "node": j["dst"].combine_chunks().cast(pa.string()),
-        "label": j["label"].combine_chunks().cast(pa.string())})
+    j = edges.join(lab, keys="src", join_type="inner",
+                   use_threads=False)
+    msgs = pa.table({"node": j["dst"].combine_chunks(),
+                     "label": j["label"].combine_chunks()})
     # combiner: ≤ one row per (task, node) crosses the exchange
-    agg = pa.TableGroupBy(msgs, "node").aggregate([("label", "min")])
-    combined = pa.table({
-        "node": agg["node"].combine_chunks().cast(pa.string()),
-        "label": agg["label_min"].combine_chunks().cast(pa.string())})
-    return _split_by_bucket(combined, "node", n)
+    agg = pa.TableGroupBy(msgs, "node",
+                          use_threads=False).aggregate([("label", "min")])
+    combined = pa.table({"node": agg["node"].combine_chunks(),
+                         "label": agg["label_min"].combine_chunks()})
+    return _split_by_mod(combined, "node", n)
 
 
 def _reduce_wave_task(old_labels: pa.Table, n: int, *msg_parts: pa.Table):
     """New labels for one bucket + change count + routed pointer-jump
     edges for the next round. Returns (labels, changed, route_0..n-1)."""
-    import pyarrow.compute as pc
-    allm = _concat_task(_LABEL_SCHEMA, old_labels, *msg_parts)
+    allm = _concat_task(_LABEL_I64, old_labels, *msg_parts)
     if allm.num_rows == 0:
-        return [_empty(_LABEL_SCHEMA), 0] + [_empty(_EDGE_SCHEMA)] * n
-    agg = pa.TableGroupBy(allm, "node").aggregate([("label", "min")])
-    new = pa.table({
-        "node": agg["node"].combine_chunks().cast(pa.string()),
-        "label": agg["label_min"].combine_chunks().cast(pa.string())})
+        return [_empty(_LABEL_I64), 0] + [_empty(_EDGE_I64)] * n
+    agg = pa.TableGroupBy(allm, "node",
+                          use_threads=False).aggregate([("label", "min")])
+    node = _i64(agg["node"])
+    lab = _i64(agg["label_min"])
+    order = np.argsort(node, kind="stable")
+    node, lab = node[order], lab[order]
     # message dsts are edge endpoints, whose label rows live in this
     # same bucket — node sets match, so sorted arrays align 1:1
-    new = new.take(pc.sort_indices(new["node"]))
-    old = old_labels.take(pc.sort_indices(old_labels["node"]))
-    if new.num_rows != old.num_rows:
+    old_node = _i64(old_labels["node"])
+    old_order = np.argsort(old_node, kind="stable")
+    if len(node) != len(old_node):
         # must survive python -O: a misaligned node set would yield a
         # silently wrong change count (and a wrong fixpoint decision)
         raise RuntimeError(
             "BSP reduce wave: message node set diverged from the "
-            f"bucket's label set ({new.num_rows} vs {old.num_rows} "
+            f"bucket's label set ({len(node)} vs {len(old_node)} "
             "nodes) — routing invariant violated")
-    changed = int(pc.sum(pc.not_equal(new["label"],
-                                      old["label"])).as_py() or 0)
-    jump = new.filter(pc.not_equal(new["label"], new["node"]))
-    jump_edges = pa.table({
-        "src": jump["label"].combine_chunks().cast(pa.string()),
-        "dst": jump["node"].combine_chunks().cast(pa.string())})
-    return [new, changed] + _split_by_bucket(jump_edges, "src", n)
+    changed = int((lab != _i64(old_labels["label"])[old_order]).sum())
+    jmask = lab != node
+    jump_edges = pa.table({"src": pa.array(lab[jmask], pa.int64()),
+                           "dst": pa.array(node[jmask], pa.int64())})
+    new = pa.table({"node": pa.array(node, pa.int64()),
+                    "label": pa.array(lab, pa.int64())})
+    return [new, changed] + _split_by_mod(jump_edges, "src", n)
+
+
+def _decode_emit_task(labels_int: pa.Table, vocab_table: pa.Table,
+                      n: int) -> list[pa.Table]:
+    """node_id → node string via the bucket's own vocab; rows routed
+    to the label id's owner bucket for the component-min resolve."""
+    if labels_int.num_rows == 0:
+        return [_empty(_DEC_SCHEMA)] * n
+    vocab = vocab_table["v"].combine_chunks()
+    node_str = vocab.take(pa.array(_i64(labels_int["node"]) // n))
+    t = pa.table({"node": node_str,
+                  "label_id": labels_int["label"]})
+    return _split_by_mod(t, "label_id", n)
+
+
+def _decode_resolve_task(n: int, *parts: pa.Table) -> list[pa.Table]:
+    """All members of a component arrive at its label id's owner:
+    cluster_id = min node STRING per component (the user-facing
+    semantics the arbitrary-order ids abstracted away), then the final
+    string rows route back to hash(node) buckets — the partitioning
+    the seed merge relies on."""
+    import pyarrow.compute as pc
+    allt = _concat_task(_DEC_SCHEMA, *parts)
+    if allt.num_rows == 0:
+        return [_empty(_LABEL_SCHEMA)] * n
+    agg = pa.TableGroupBy(allt, "label_id",
+                          use_threads=False).aggregate([("node", "min")])
+    idx = pc.index_in(allt["label_id"].combine_chunks(),
+                      value_set=agg["label_id"].combine_chunks())
+    cluster = agg["node_min"].combine_chunks().take(idx)
+    out = pa.table({
+        "node": allt["node"].combine_chunks().cast(pa.string()),
+        "label": cluster.cast(pa.string())})
+    return _split_by_bucket(out, "node", n)
 
 
 def _route_seeds_task(t: pa.Table, n: int) -> list[pa.Table]:
@@ -284,7 +432,8 @@ def _merge_seed_bucket_task(labels: pa.Table, *seed_parts: pa.Table):
     allr = _concat_task(_LABEL_SCHEMA, labels, *seed_parts)
     if allr.num_rows == 0:
         return _empty(_LABEL_SCHEMA)
-    agg = pa.TableGroupBy(allr, "node").aggregate([("label", "min")])
+    agg = pa.TableGroupBy(allr, "node",
+                          use_threads=False).aggregate([("label", "min")])
     return pa.table({
         "node": agg["node"].combine_chunks().cast(pa.string()),
         "label": agg["label_min"].combine_chunks().cast(pa.string())})
@@ -296,17 +445,32 @@ def _bsp_components(edges_ds, n: int, max_iters: int):
 
     route = ray.remote(_route_edges_task)
     concat = ray.remote(_concat_task)
+    enc_local = ray.remote(_encode_local_task)
+    enc_answer = ray.remote(_encode_answer_task)
+    enc_finish = ray.remote(_encode_finish_task)
     init = ray.remote(_init_labels_task)
     join_wave = ray.remote(_join_wave_task)
     reduce_wave = ray.remote(_reduce_wave_task)
+    dec_emit = ray.remote(_decode_emit_task)
+    dec_resolve = ray.remote(_decode_resolve_task)
 
     block_refs = [ref for bundle in
                   edges_ds.materialize().iter_internal_ref_bundles()
                   for ref, meta in bundle.blocks if meta.num_rows]
     routed = [route.options(num_returns=n).remote(ref, n)
               for ref in block_refs]
-    buckets = [concat.remote(_EDGE_SCHEMA, *[r[k] for r in routed])
-               for k in range(n)]
+    buckets_s = [concat.remote(_EDGE_SCHEMA, *[r[k] for r in routed])
+                 for k in range(n)]
+    # dict-encode: vocab per bucket, dst ids via request/answer exchange
+    enc = [enc_local.options(num_returns=2 + n).remote(buckets_s[b], n, b)
+           for b in range(n)]
+    vocabs = [enc[b][0] for b in range(n)]
+    answers = [enc_answer.options(num_returns=n).remote(
+        vocabs[o], n, o, *[enc[b][2 + o] for b in range(n)])
+        for o in range(n)]
+    buckets = [enc_finish.remote(enc[b][1],
+                                 *[answers[o][b] for o in range(n)])
+               for b in range(n)]
     labels = [init.remote(b) for b in buckets]
     jump: list[list] = [[] for _ in range(n)]
 
@@ -330,7 +494,17 @@ def _bsp_components(edges_ds, n: int, max_iters: int):
             f"fixpoint within max_iters={max_iters}; labels may split "
             f"components. Raise max_iters (graph diameter > "
             f"2^{max_iters}).", RuntimeWarning)
-    return labels        # per-bucket refs, hash-partitioned by node
+    # decode: per-component lexicographic-min node string, rows routed
+    # back to hash(node) buckets (the partitioning the seed merge and
+    # downstream consumers rely on)
+    emitted = [dec_emit.options(num_returns=n).remote(
+        labels[k], vocabs[k], n) for k in range(n)]
+    resolved = [dec_resolve.options(num_returns=n).remote(
+        n, *[emitted[j][k] for j in range(n)]) for k in range(n)]
+    final = [concat.remote(_LABEL_SCHEMA,
+                           *[resolved[o][k] for o in range(n)])
+             for k in range(n)]
+    return final        # per-bucket refs, hash-partitioned by node
 
 
 # --------------------------------------------------------- small helpers
