@@ -351,12 +351,16 @@ def main() -> None:
         ray.shutdown()
 
 
-# 250k: after the round-3 kernel speedups (batched fuzzy prober,
-# step-cached DFAs) the 100k fixture became overhead-dominated at 32
-# CPUs and measured efficiency stopped reflecting pipeline
-# scalability — the same reason round 2 moved this knob from 22.5k to
-# 100k. The workload must keep 32 CPUs compute-bound.
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "250000"))
+# 1M: after the round-4 speedups (int64 BSP, slice-replicated hot
+# hosts, candidate fan-out) the 250k fixture became overhead-dominated
+# at 32 CPUs — the same reason rounds 2 and 3 moved this knob from
+# 22.5k to 100k to 250k. The workload must keep 32 CPUs compute-bound.
+# Note the measured ceiling documented in BASELINE.md: the identical
+# task graph burns ~2x the CPU-seconds at 32-way concurrency on this
+# single box (mixed-workload cache/bandwidth contention a multi-node
+# cluster does not share), so same-input strong scaling tops out
+# around 0.65 here; weak scaling (4x data on 4x CPUs) holds ~0.8.
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
 
 
 def _scaling_child(num_cpus: int) -> None:

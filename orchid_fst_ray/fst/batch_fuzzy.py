@@ -393,6 +393,29 @@ def batch_fuzzy_matches(fst, queries, d: int, damerau: bool = False,
     return np.concatenate(out_q), np.concatenate(out_v), keys_out
 
 
+def batch_fuzzy_matches_chunked(fst, queries, d: int,
+                                damerau: bool = False,
+                                query_chunk: int = 256):
+    """:func:`batch_fuzzy_matches` in ``query_chunk``-sized slices.
+
+    EVERY multi-query probe call must chunk: the level-synchronous
+    frontier is superlinear in live queries on near-duplicate-heavy
+    key sets (the per-level step-table dedup stops collapsing states
+    once a chunk's queries span too much of the key space) — a 3.3k-
+    query frontier measured 41 s where 13 × 256-query chunks cost
+    ~3 s. 256 is the measured sweet spot (512+ regresses even with
+    hash-based dedup)."""
+    if len(queries) <= query_chunk:
+        return batch_fuzzy_matches(fst, queries, d, damerau)
+    qs, vs = [], []
+    for i in range(0, len(queries), query_chunk):
+        a, b = batch_fuzzy_matches(fst, queries[i:i + query_chunk],
+                                   d, damerau)
+        qs.append(a + i)
+        vs.append(b)
+    return np.concatenate(qs), np.concatenate(vs)
+
+
 def batch_self_join_pairs(fst, keys, d: int, damerau: bool = False,
                           max_pairs_per_key: int | None = None,
                           query_chunk: int = 256):
@@ -411,15 +434,8 @@ def batch_self_join_pairs(fst, keys, d: int, damerau: bool = False,
     blocks and bound the worst case (measured: 3810 near-dup keys
     26.6 s unchunked → 2.2 s chunked; 40 normal blocks 3.3 → 1.4 s).
     """
-    if len(keys) > query_chunk:
-        parts = [batch_fuzzy_matches(fst, keys[i:i + query_chunk],
-                                     d, damerau)
-                 for i in range(0, len(keys), query_chunk)]
-        qi = np.concatenate([p[0] + i * query_chunk
-                             for i, p in enumerate(parts)])
-        mv = np.concatenate([p[1] for p in parts])
-    else:
-        qi, mv = batch_fuzzy_matches(fst, keys, d, damerau)
+    qi, mv = batch_fuzzy_matches_chunked(fst, keys, d, damerau,
+                                         query_chunk=query_chunk)
     m = mv > qi
     qi, mv = qi[m], mv[m]
     if max_pairs_per_key is not None and len(qi):

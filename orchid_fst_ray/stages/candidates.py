@@ -31,7 +31,7 @@ import pyarrow as pa
 from orchid_fst_ray.fst import fuzzy_automaton
 from orchid_fst_ray.fst.builder import build_probe_trie
 from orchid_fst_ray.fst.batch_fuzzy import (MAX_BATCH_D,
-                                            batch_fuzzy_matches,
+                                            batch_fuzzy_matches_chunked,
                                             batch_self_join_pairs)
 
 __all__ = ["BlockCandidates", "generate_candidates",
@@ -86,6 +86,26 @@ def _expand_cross(counts: np.ndarray, offsets: np.ndarray,
 # for ALL small groups of a block); above it, automaton pruning on the
 # per-group trie wins
 _SMALL_HOST_KEYS = 128
+
+_ARROW_POOL_CLAMPED = False
+
+
+def _clamp_arrow_pool() -> None:
+    """Pin this worker's Arrow CPU pool to 1 thread, once per process.
+
+    Our map_batches callables reserve ONE Ray CPU but lean on Arrow
+    kernels (sort_indices, take) that fan onto the worker's
+    process-global thread pool — sized by whatever task first touched
+    it, often the full machine. With a full pipeline running, 32
+    concurrent 1-CPU tasks x pool threads thrash: the identical task
+    graph measured 248 CPU-seconds at 32-way concurrency vs 111 at
+    8-way, while the same kernels scale cleanly in plain processes.
+    One task, one core — intra-task parallelism is the scheduler's
+    job, not the kernel's."""
+    global _ARROW_POOL_CLAMPED
+    if not _ARROW_POOL_CLAMPED:
+        pa.set_cpu_count(1)
+        _ARROW_POOL_CLAMPED = True
 
 
 def _small_host_pairs(keys: np.ndarray, hseg: np.ndarray,
@@ -198,6 +218,7 @@ class BlockCandidates:
 
     def __call__(self, g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        _clamp_arrow_pool()
         key_col, id_col = self.key_col, self.id_col
         n = g.num_rows
         if n == 0:
@@ -330,6 +351,162 @@ class BlockCandidates:
         })
 
 
+class SliceCandidates:
+    """Medium-hot-host callable: the host's rows are REPLICATED into K
+    slices upstream (one (host, slice) group per task after the sort),
+    each task builds the full-host probe trie (the vectorized builder
+    makes a 32k-key build ~0.3 s — cheap to duplicate) and probes only
+    the distinct keys whose rank ``% K == slice``. Pair-for-pair equal
+    to the serial whole-host probe: the per-query match budget is
+    query-local, query q emits only matches > q, and each query
+    belongs to exactly one slice — so each pair is produced exactly
+    once across slices with the exact serial budget semantics.
+
+    This is the middle tier between the normal in-block path (probe
+    cost is superlinear in host keys, so one task per big host
+    straggles) and the broadcast-sharded actor pool (whose per-batch
+    host-interleaved probes cost ~4x the serial CPU in per-invocation
+    prober overhead, measured at 1M pages). Replication is the price:
+    K copies of the host's slim rows cross the shuffle, K =
+    ceil(rows / slice_rows), so the data amplification is
+    rows²/slice_rows — fine up to ``mega_block_rows``, past which the
+    ref-only broadcast path takes over."""
+
+    def __init__(self, d: int = 2, damerau: bool = False,
+                 same_prefix_len: int = 0,
+                 key_col: str = "doc_key", id_col: str = "url",
+                 block_col: str = "host",
+                 max_pairs_per_key: int = 64,
+                 url_col: str | None = None) -> None:
+        self.d = d
+        self.damerau = damerau
+        self.same_prefix_len = same_prefix_len
+        self.key_col = key_col
+        self.id_col = id_col
+        self.block_col = block_col
+        self.max_pairs_per_key = max_pairs_per_key
+        self.url_col = url_col
+
+    def _slice_pairs(self, keys: np.ndarray, s: int,
+                     k_total: int) -> tuple[np.ndarray, np.ndarray]:
+        """(I, J) matched distinct-key index pairs for THIS slice's
+        queries against the whole host's sorted distinct keys. Slices
+        are CONTIGUOUS rank ranges: a strided (every-Kth-rank) slice
+        measured 2.7x the cost of a contiguous one — the prober's
+        per-level step-table dedup collapses states across adjacent
+        (prefix-sharing) queries but not across spread-out ones."""
+        fst = build_probe_trie(keys)
+        L = len(keys)
+        lo, hi = (s * L) // k_total, ((s + 1) * L) // k_total
+        q_ranks = np.arange(lo, hi, dtype=np.int64)
+        if self.same_prefix_len == 0 and self.d <= MAX_BATCH_D:
+            qi, mv = batch_fuzzy_matches_chunked(
+                fst, [keys[r] for r in q_ranks], self.d, self.damerau)
+            I, J = q_ranks[qi], mv
+            keep = J > I
+            I, J = I[keep], J[keep]
+            if len(I):
+                # per-query budget: the cap smallest matched ranks ==
+                # first-cap-in-search-order on the sorted-key trie
+                o = np.lexsort((J, I))
+                I, J = I[o], J[o]
+                run_start = np.zeros(len(I), np.int64)
+                new = np.flatnonzero(I[1:] != I[:-1]) + 1
+                run_start[new] = new
+                np.maximum.accumulate(run_start, out=run_start)
+                rank = np.arange(len(I), dtype=np.int64) - run_start
+                keep = rank < self.max_pairs_per_key
+                I, J = I[keep], J[keep]
+            return I, J
+        Il: list[int] = []
+        Jl: list[int] = []
+        for q in q_ranks:
+            aut = fuzzy_automaton(keys[q], self.d,
+                                  self.same_prefix_len, self.damerau)
+            budget = self.max_pairs_per_key
+            for mk, midx in fst.search(aut):
+                if midx <= q:
+                    continue
+                Il.append(q)
+                Jl.append(midx)
+                budget -= 1
+                if budget <= 0:
+                    break
+        return np.asarray(Il, np.int64), np.asarray(Jl, np.int64)
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        _clamp_arrow_pool()
+        key_col, id_col = self.key_col, self.id_col
+        n = g.num_rows
+        if n == 0:
+            return _PAIR_SCHEMA_EMPTY()
+        order = pc.sort_indices(g, sort_keys=[
+            (self.block_col, "ascending"), ("_slice", "ascending"),
+            (key_col, "ascending"), (id_col, "ascending")])
+        bf = g[self.block_col].take(order).to_numpy(zero_copy_only=False)
+        sf = g["_slice"].take(order).to_numpy(zero_copy_only=False)
+        kt = g["_k"].take(order).to_numpy(zero_copy_only=False)
+        kf = g[key_col].take(order).to_numpy(zero_copy_only=False)
+        idf = g[id_col].take(order).to_numpy(zero_copy_only=False)
+        uf = (g[self.url_col].take(order).to_numpy(zero_copy_only=False)
+              if self.url_col is not None else None)
+        seg = np.concatenate(
+            ([0], np.flatnonzero((bf[1:] != bf[:-1])
+                                 | (sf[1:] != sf[:-1])) + 1,
+             [n])).astype(np.int64)
+        parts: list[pa.Table] = []
+        for si in range(len(seg) - 1):
+            lo, hi = int(seg[si]), int(seg[si + 1])
+            blk = bf[lo]
+            s = int(sf[lo])
+            k_total = int(kt[lo])
+            krows = kf[lo:hi]
+            irows = idf[lo:hi]
+            change = np.flatnonzero(krows[1:] != krows[:-1]) + 1
+            bounds = np.concatenate(([0], change,
+                                     [hi - lo])).astype(np.int64)
+            keys = krows[bounds[:-1]]
+            counts = bounds[1:] - bounds[:-1]
+            offsets = bounds[:-1]
+            I, J = self._slice_pairs(keys, s, k_total)
+            if len(I):
+                ia_idx, ib_idx, pid = _expand_cross(counts, offsets,
+                                                    I, J)
+                A, B = irows[ia_idx], irows[ib_idx]
+                KA, KB = keys[I[pid]], keys[J[pid]]
+                swap = A > B
+                parts.append(_pairs_table(
+                    np.where(swap, B, A), np.where(swap, A, B),
+                    np.where(swap, KB, KA), np.where(swap, KA, KB),
+                    blk))
+            if s == 0:
+                # whole-host work emitted exactly once, from slice 0
+                # (every slice holds all host rows): dup-key id pairs
+                # and same-normalized-url pairs
+                if (counts > 1).any():
+                    a_idx, b_idx = _run_triangle_indices(bounds)
+                    parts.append(_pairs_table(
+                        irows[a_idx], irows[b_idx], krows[a_idx],
+                        krows[a_idx], blk))
+                if uf is not None:
+                    useg = uf[lo:hi]
+                    uord = np.lexsort((irows, useg))
+                    us, ui = useg[uord], irows[uord]
+                    uk = krows[uord]
+                    ub = np.concatenate(
+                        ([0], np.flatnonzero(us[1:] != us[:-1]) + 1,
+                         [hi - lo])).astype(np.int64)
+                    if ((ub[1:] - ub[:-1]) > 1).any():
+                        ua, ubx = _run_triangle_indices(ub)
+                        parts.append(_pairs_table(
+                            ui[ua], ui[ubx], uk[ua], uk[ubx], blk,
+                            source="url"))
+        if not parts:
+            return _PAIR_SCHEMA_EMPTY()
+        return pa.concat_tables(parts)
+
+
 def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         key_col: str = "doc_key", id_col: str = "url",
                         block_col: str = "host",
@@ -337,7 +514,9 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         hot_block_rows: int | None = 4096,
                         num_partitions: int = 16,
                         url_col: str | None = None,
-                        same_prefix_len: int = 0):
+                        same_prefix_len: int = 0,
+                        slice_rows: int = 4096,
+                        mega_block_rows: int = 65536):
     """docs(url, doc_key, host, ...) → candidate pairs
     (url_a, url_b, key_a, key_b, block_key). One shuffle on the block
     key for normal blocks; blocks above ``hot_block_rows`` take the
@@ -438,28 +617,78 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                 .map_batches(block_candidates, batch_size=None,
                              batch_format="pyarrow"))
 
-    hot_set = set(hot_blocks)
+    # three tiers by host size: normal in-block (≤ hot_block_rows),
+    # slice-replicated (≤ mega_block_rows — K copies of the host's
+    # slim rows, one full-host trie + one query slice per task), and
+    # the ref-only broadcast-shard actor pool for true mega hosts
+    # (replication would amplify data by rows/slice_rows there).
+    mid_sizes = {blk: nn for blk, nn in hot_sizes.items()
+                 if nn <= mega_block_rows}
+    mega_sizes = {blk: nn for blk, nn in hot_sizes.items()
+                  if nn > mega_block_rows}
 
-    def split(keep_hot: bool):
+    def split_in(names: set, keep: bool):
+        vals = pa.array(sorted(names))
+
         def fn(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             mask = pc.is_in(t[block_col].cast(pa.string()),
-                            value_set=pa.array(sorted(hot_set)))
-            return t.filter(mask if keep_hot else pc.invert(mask))
+                            value_set=vals)
+            return t.filter(mask if keep else pc.invert(mask))
         return fn
 
-    normal = (slim.map_batches(split(False), batch_format="pyarrow")
+    normal = (slim.map_batches(split_in(set(hot_blocks), False),
+                               batch_format="pyarrow")
               .repartition(_sort_fanout(slim))
               .sort(block_col)
               .map_batches(block_candidates, batch_size=None,
                            batch_format="pyarrow"))
-    hot = generate_hot_candidates(
-        slim.map_batches(split(True), batch_format="pyarrow"),
-        d=d, damerau=damerau, key_col=key_col, id_col=id_col,
-        block_col=block_col, max_pairs_per_key=max_pairs_per_key,
-        url_col=url_col, same_prefix_len=same_prefix_len,
-        block_sizes=hot_sizes)
-    return normal.union(hot)
+    streams = [normal]
+
+    if mid_sizes:
+        k_of = {blk: max(2, -(-nn // slice_rows))
+                for blk, nn in mid_sizes.items()}
+
+        def replicate(t: pa.Table) -> pa.Table:
+            blocks = t[block_col].to_numpy(zero_copy_only=False)
+            ks = np.array([k_of[b] for b in blocks], np.int64)
+            rep = np.repeat(np.arange(len(blocks), dtype=np.int64), ks)
+            starts = np.concatenate(([0], np.cumsum(ks)[:-1]))
+            slices = (np.arange(len(rep), dtype=np.int64)
+                      - np.repeat(starts, ks))
+            out = t.take(pa.array(rep))
+            out = out.append_column(
+                "_slice", pa.array(slices, pa.int32()))
+            return out.append_column(
+                "_k", pa.array(ks[rep].astype(np.int32), pa.int32()))
+
+        slice_inst = SliceCandidates(
+            d=d, damerau=damerau, key_col=key_col, id_col=id_col,
+            block_col=block_col, max_pairs_per_key=max_pairs_per_key,
+            url_col=url_col, same_prefix_len=same_prefix_len)
+
+        def slice_candidates(g):
+            return slice_inst(g)
+
+        streams.append(
+            slim.map_batches(split_in(set(mid_sizes), True),
+                             batch_format="pyarrow")
+            .map_batches(replicate, batch_format="pyarrow")
+            .repartition(_sort_fanout(slim))
+            .sort([block_col, "_slice"])
+            .map_batches(slice_candidates, batch_size=None,
+                         batch_format="pyarrow"))
+
+    if mega_sizes:
+        streams.append(generate_hot_candidates(
+            slim.map_batches(split_in(set(mega_sizes), True),
+                             batch_format="pyarrow"),
+            d=d, damerau=damerau, key_col=key_col, id_col=id_col,
+            block_col=block_col, max_pairs_per_key=max_pairs_per_key,
+            url_col=url_col, same_prefix_len=same_prefix_len,
+            block_sizes=mega_sizes))
+    return streams[0] if len(streams) == 1 else streams[0].union(
+        *streams[1:])
 
 
 def _pack_blocks(sizes: dict, cap: int) -> list[list]:
@@ -631,6 +860,7 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
         def __init__(self, refs_by_block, d, damerau, cap,
                      same_prefix_len=0):
             from orchid_fst_ray.fst import Fst
+            _clamp_arrow_pool()
             # blk → [(fst, shard_keys, shard_key_gidx), ...]; the
             # merged key→id table becomes a CSR over the SORTED block
             # keys so the emit path is pure numpy gathers. Shard key
@@ -713,8 +943,9 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                             and self.d <= MAX_BATCH_D):
                         # vectorized: all probe keys walk this shard's
                         # FST together (pair-for-pair equal to the
-                        # scalar loop)
-                        qi, mv = batch_fuzzy_matches(
+                        # scalar loop; chunked — unchunked frontiers
+                        # go superlinear past ~256 queries)
+                        qi, mv = batch_fuzzy_matches_chunked(
                             fst, pkeys, self.d, self.damerau)
                         gm = skeys_g[mv]
                         keep = gm > q_g[qi]

@@ -110,6 +110,44 @@ def test_hot_block_path_equals_normal_path(ray_session, fixture):
     assert gated == normal
 
 
+def test_slice_tier_equals_normal_path(ray_session, fixture):
+    """The slice-replicated middle tier (full-host trie per task, one
+    contiguous query-rank slice per task) must generate the same pairs
+    as the per-group path — with many slices forced (slice_rows=8) and
+    with a per-query match budget in play (budget = cap smallest
+    matched ranks, query-local, so slicing can't change it)."""
+    import ray.data as rd
+    from orchid_fst_ray.stages.candidates import generate_candidates
+    from orchid_fst_ray.stages.extract import ExtractNormalize
+    pages = rd.from_arrow(fixture["pages"]).repartition(4)
+    docs = pages.map_batches(ExtractNormalize(),
+                             batch_format="pyarrow").materialize()
+
+    def pair_set(ds):
+        out = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out |= set(zip(b["url_a"].to_pylist(), b["url_b"].to_pylist()))
+        return out
+
+    for cap in (64, 2):
+        normal = pair_set(generate_candidates(
+            docs, d=2, damerau=True, hot_block_rows=None,
+            max_pairs_per_key=cap))
+        # every block hot, none mega → all through SliceCandidates,
+        # slice_rows=8 → K = ceil(rows/8) slices per host
+        sliced = pair_set(generate_candidates(
+            docs, d=2, damerau=True, hot_block_rows=1, slice_rows=8,
+            mega_block_rows=1 << 30, num_partitions=4,
+            max_pairs_per_key=cap))
+        assert sliced == normal, f"cap={cap}"
+        # every block mega → all through the broadcast-shard pool
+        mega = pair_set(generate_candidates(
+            docs, d=2, damerau=True, hot_block_rows=1,
+            mega_block_rows=1, num_partitions=4,
+            max_pairs_per_key=cap))
+        assert mega == normal, f"cap={cap}"
+
+
 def test_hot_candidates_driver_holds_refs_not_blobs():
     """Tripwire (the curation pattern): the hot-candidate build stage
     must never pull FST/ids blobs to the driver — build tasks ray.put
