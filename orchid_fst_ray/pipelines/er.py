@@ -87,15 +87,26 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
     metrics["docs_resumed"] = resumed
     docs = _boundary("extract", docs, t0)
 
+    # ONE extract execution: the narrow projection that BOTH the
+    # blocking pass and the clustering seeds consume is materialized
+    # here (url/doc_key/host/norm_url — no text payload). Without it,
+    # streaming mode re-executed the whole extract stage for the seed
+    # pass (two consumers of one lazy dataset re-run shared lineage);
+    # generate_candidates needed this barrier anyway — its hot-block
+    # split reads the slim projection up to three times.
+    docs_slim = docs.select_columns(
+        ["url", "doc_key", "host", "norm_url"]).materialize()
+
     t0 = time.time()
     fp_cand = f"candidates|{fp_docs}"
     candidates, resumed = store.run_stage(
         "candidates", fp_cand,
         lambda: dedupe_pairs(
-            generate_candidates(docs, d=d, damerau=damerau,
+            generate_candidates(docs_slim, d=d, damerau=damerau,
                                 hot_block_rows=hot_block_rows,
                                 num_partitions=num_partitions,
-                                url_col="norm_url"),
+                                url_col="norm_url",
+                                pre_projected=True),
             num_partitions=num_partitions))
     metrics["candidates_resumed"] = resumed
     candidates = _boundary("candidates", candidates, t0)
@@ -118,7 +129,7 @@ def run_er(pages_ds, *, d: int = 2, damerau: bool = True,
     clusters, resumed = store.run_stage(
         "clusters", fp_clusters,
         lambda: connected_components(
-            scored, nodes_ds=docs, node_col="url",
+            scored, nodes_ds=docs_slim, node_col="url",
             num_partitions=num_partitions,
             driver_threshold=cluster_driver_threshold))
     metrics["clusters_resumed"] = resumed

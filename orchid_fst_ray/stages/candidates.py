@@ -516,7 +516,8 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
                         url_col: str | None = None,
                         same_prefix_len: int = 0,
                         slice_rows: int = 4096,
-                        mega_block_rows: int = 65536):
+                        mega_block_rows: int = 65536,
+                        pre_projected: bool = False):
     """docs(url, doc_key, host, ...) → candidate pairs
     (url_a, url_b, key_a, key_b, block_key). One shuffle on the block
     key for normal blocks; blocks above ``hot_block_rows`` take the
@@ -539,14 +540,21 @@ def generate_candidates(docs_ds, d: int = 2, damerau: bool = False,
     (``source='url'``) within the same block pass.
     """
     cols = [id_col, key_col, block_col] + ([url_col] if url_col else [])
-    slim = docs_ds.select_columns(cols)
-    if hot_block_rows is not None:
-        # the hot-block split consumes ``slim`` up to three times
-        # (size pass + normal + hot branch); pin the slim PROJECTION
-        # (ids/keys only — no document payload) in the object store so
-        # the upstream pipeline doesn't re-execute per consumer
-        # (spillable blocks, never driver memory)
-        slim = slim.materialize()
+    if pre_projected:
+        # caller guarantees docs_ds is ALREADY the materialized narrow
+        # projection (run_er shares one slim materialize between this
+        # stage and the clustering seeds) — skip the redundant
+        # projection pass
+        slim = docs_ds
+    else:
+        slim = docs_ds.select_columns(cols)
+        if hot_block_rows is not None:
+            # the hot-block split consumes ``slim`` up to three times
+            # (size pass + normal + hot branch); pin the slim PROJECTION
+            # (ids/keys only — no document payload) in the object store
+            # so the upstream pipeline doesn't re-execute per consumer
+            # (spillable blocks, never driver memory)
+            slim = slim.materialize()
     inst = BlockCandidates(d=d, damerau=damerau, key_col=key_col,
                            id_col=id_col, block_col=block_col,
                            max_pairs_per_key=max_pairs_per_key,

@@ -57,6 +57,17 @@ def _empty(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
 
 
+def _trace(label: str, t0: list) -> None:
+    """Phase-boundary timing, printed only when GRAFT_CC_TRACE is set
+    (perf forensics; zero cost otherwise)."""
+    import os
+    import time
+    if os.environ.get("GRAFT_CC_TRACE"):
+        now = time.time()
+        print(f"[cc-trace] {label}: +{now - t0[0]:.3f}s", flush=True)
+        t0[0] = now
+
+
 def _bucket_of(col, n: int) -> np.ndarray:
     """Routing hash straight off the Arrow string BUFFERS: the first 8
     and last 8 bytes of each value plus its length, mixed with
@@ -130,20 +141,27 @@ def connected_components(edges_ds, node_a: str = "url_a",
     already bounds any node's message fan-in to ``num_partitions``
     rows, which is what two-phase salting bought.
     """
+    import time
+
     import ray.data as rd
 
-    edges = compact_nonempty(
-        edges_ds
-        .select_columns([node_a, node_b])
-        .map_batches(lambda t: pa.table({
+    _t = [time.time()]
+    # ONE narrow projection materialize; the 2x-rows symmetric table is
+    # built INSIDE the per-block route task (BSP path) or lazily
+    # (driver path) instead of making its own object-store round trip
+    # as a standalone dataset pass + compaction shuffle.
+    pairs = edges_ds.select_columns([node_a, node_b]).materialize()
+    n_edges = 2 * pairs.count()       # count is metadata after materialize
+
+    def _symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table({
             "src": pa.concat_arrays([
                 t[node_a].combine_chunks().cast(pa.string()),
                 t[node_b].combine_chunks().cast(pa.string())]),
             "dst": pa.concat_arrays([
                 t[node_b].combine_chunks().cast(pa.string()),
                 t[node_a].combine_chunks().cast(pa.string())]),
-        }), batch_format="pyarrow"),
-        schema=_EDGE_SCHEMA, max_blocks=num_partitions)
+        })
 
     seeds = None
     if nodes_ds is not None:
@@ -153,7 +171,7 @@ def connected_components(edges_ds, node_a: str = "url_a",
                 "label": t[node_col].cast(pa.string()),
             }), batch_format="pyarrow")
 
-    n_edges = edges.count()
+    _trace("project+count", _t)
     if n_edges == 0:
         if seeds is None:
             return rd.from_arrow(_empty(_LABEL_SCHEMA)).map_batches(
@@ -162,6 +180,9 @@ def connected_components(edges_ds, node_a: str = "url_a",
             _rename_out, batch_format="pyarrow")
 
     if n_edges <= driver_threshold:
+        edges = compact_nonempty(
+            pairs.map_batches(_symmetrize, batch_format="pyarrow"),
+            schema=_EDGE_SCHEMA, max_blocks=num_partitions)
         return _driver_components(edges, seeds)
 
     # bucket count targets ~200k directed edge rows per bucket (the
@@ -172,35 +193,52 @@ def connected_components(edges_ds, node_a: str = "url_a",
     # pure wave latency. num_partitions stays the SKEW/CAPACITY
     # ceiling: huge graphs still fan out to the full cluster.
     n = max(2, min(num_partitions, -(-n_edges // 200_000)))
-    label_refs = _bsp_components(edges, n, max_iters)
 
     # Seeds that never appear in an edge are singletons and cannot
     # change label, so they skip the loop entirely and merge back in
     # ONE routed task wave: the BSP's label buckets are already
     # hash-partitioned by node, so seeds are split with the same hash
-    # and min-merged per bucket — no Dataset groupby shuffle.
+    # and min-merged per bucket — no Dataset groupby shuffle. Routing
+    # depends only on nodes_ds, so it is SUBMITTED before the wave
+    # loop and runs on the CPUs the n-bucket waves leave idle; only
+    # the final min-merge waits for the converged labels.
+    seed_routed: list = []
     if seeds is not None:
         import ray
 
-        route = ray.remote(_route_seeds_task)
-        merge = ray.remote(_merge_seed_bucket_task)
+        route_s = ray.remote(_route_seeds_task)
         seed_refs = [ref for bundle in
                      seeds.materialize().iter_internal_ref_bundles()
                      for ref, meta in bundle.blocks if meta.num_rows]
-        routed = [route.options(num_returns=n).remote(ref, n)
-                  for ref in seed_refs]
-        if routed:
-            label_refs = [
-                merge.remote(label_refs[k], *[r[k] for r in routed])
-                for k in range(n)]
+        seed_routed = [route_s.options(num_returns=n).remote(ref, n)
+                       for ref in seed_refs]
+        _trace("seed route submit", _t)
+
+    label_refs = _bsp_components(pairs, n, max_iters,
+                                 node_a=node_a, node_b=node_b,
+                                 seed_routed=seed_routed)
+    _trace("bsp_components", _t)
     labels = rd.from_arrow_refs(label_refs)
     return labels.map_batches(_rename_out, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- BSP propagation
 
-def _route_edges_task(t: pa.Table, n: int) -> list[pa.Table]:
-    return _split_by_bucket(t, "src", n)
+def _route_pairs_task(t: pa.Table, node_a: str, node_b: str,
+                      n: int) -> list[pa.Table]:
+    """Symmetrize one raw pairs block and split it by hash(src) % n.
+    Fusing the 2x-rows symmetric table into the route task keeps it
+    out of the object store as a standalone dataset: each directed
+    copy is written exactly once, already bucketed."""
+    sym = pa.table({
+        "src": pa.concat_arrays([
+            t[node_a].combine_chunks().cast(pa.string()),
+            t[node_b].combine_chunks().cast(pa.string())]),
+        "dst": pa.concat_arrays([
+            t[node_b].combine_chunks().cast(pa.string()),
+            t[node_a].combine_chunks().cast(pa.string())]),
+    })
+    return _split_by_bucket(sym, "src", n)
 
 
 def _concat_task(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
@@ -260,14 +298,17 @@ def _split_by_mod(t: pa.Table, col: str, n: int) -> list[pa.Table]:
             for k in range(n)]
 
 
-def _encode_local_task(edge_bucket: pa.Table, n: int, b: int):
-    """Bucket b of the string edges → its vocab (distinct srcs, in
-    pc.unique's arbitrary-but-stable order), the src-id/row-order
-    state, and per-owner dst lookup requests. Every node appears as
-    src in exactly its own bucket (edges are symmetrized and routed by
+def _encode_local_task(n: int, b: int, *parts: pa.Table):
+    """Bucket b of the string edges (concatenated inline from its
+    routed parts — fusing the concat layer saves one full write+read
+    of every bucket) → its vocab (distinct srcs, in pc.unique's
+    arbitrary-but-stable order), the src-id/row-order state, and
+    per-owner dst lookup requests. Every node appears as src in
+    exactly its own bucket (edges are symmetrized and routed by
     hash(src)), so dst ids are resolved by one request/answer exchange
     instead of broadcasting vocabularies."""
     import pyarrow.compute as pc
+    edge_bucket = _concat_task(_EDGE_SCHEMA, *parts)
     if edge_bucket.num_rows == 0:
         return ([_empty(_VOCAB_SCHEMA), _empty(_STATE_SCHEMA)]
                 + [_empty(_REQ_SCHEMA)] * n)
@@ -310,29 +351,26 @@ def _encode_answer_task(vocab_table: pa.Table, n: int, o: int,
     return outs
 
 
-def _encode_finish_task(state: pa.Table, *answers: pa.Table) -> pa.Table:
+def _encode_finish_task(state: pa.Table, *answers: pa.Table):
     """Zip the per-owner id answers back into original row order →
-    the bucket's int64 edge table."""
+    the bucket's int64 edge table, PLUS the bucket's initial labels
+    labels₀(src) = min(src, min dst over src's edges) — fused here so
+    the edge bucket isn't re-read by a separate init layer."""
     m = state.num_rows
     if m == 0:
-        return _empty(_EDGE_I64)
+        return [_empty(_EDGE_I64), _empty(_LABEL_I64)]
     ids = np.concatenate([_i64(a["id"]) for a in answers if a.num_rows])
     dst_id = np.empty(m, np.int64)
     dst_id[_i64(state["pos"])] = ids
-    return pa.table({"src": state["src_id"],
-                     "dst": pa.array(dst_id, pa.int64())})
-
-
-def _init_labels_task(edge_bucket: pa.Table) -> pa.Table:
-    """labels₀(src) = min(src, min dst over src's edges)."""
-    if edge_bucket.num_rows == 0:
-        return _empty(_LABEL_I64)
+    edge_bucket = pa.table({"src": state["src_id"],
+                            "dst": pa.array(dst_id, pa.int64())})
     agg = pa.TableGroupBy(edge_bucket, "src",
                           use_threads=False).aggregate([("dst", "min")])
     src = _i64(agg["src"])
     lab = np.minimum(src, _i64(agg["dst_min"]))
-    return pa.table({"node": pa.array(src, pa.int64()),
-                     "label": pa.array(lab, pa.int64())})
+    labels0 = pa.table({"node": pa.array(src, pa.int64()),
+                        "label": pa.array(lab, pa.int64())})
+    return [edge_bucket, labels0]
 
 
 def _join_wave_task(edge_bucket: pa.Table, labels_j: pa.Table, n: int,
@@ -425,11 +463,11 @@ def _route_seeds_task(t: pa.Table, n: int) -> list[pa.Table]:
     return _split_by_bucket(_cast_labels(t), "node", n)
 
 
-def _merge_seed_bucket_task(labels: pa.Table, *seed_parts: pa.Table):
+def _merge_seed_bucket_task(*parts: pa.Table):
     """Min label per node over (BSP bucket labels ∪ same-bucket
     seeds): edge nodes keep their component label (always ≤ the
     seed's self-label), seed-only nodes become singletons."""
-    allr = _concat_task(_LABEL_SCHEMA, labels, *seed_parts)
+    allr = _concat_task(_LABEL_SCHEMA, *parts)
     if allr.num_rows == 0:
         return _empty(_LABEL_SCHEMA)
     agg = pa.TableGroupBy(allr, "node",
@@ -439,43 +477,59 @@ def _merge_seed_bucket_task(labels: pa.Table, *seed_parts: pa.Table):
         "label": agg["label_min"].combine_chunks().cast(pa.string())})
 
 
-def _bsp_components(edges_ds, n: int, max_iters: int):
+def _bsp_components(pairs_ds, n: int, max_iters: int,
+                    node_a: str = "src", node_b: str = "dst",
+                    seed_routed: list | None = None):
+    """``pairs_ds`` must be a MATERIALIZED narrow (node_a, node_b)
+    dataset; symmetrization happens inside the route tasks.
+    ``seed_routed``: per-seed-block lists of n routed seed refs
+    (hash(node) % n — the same split as the label buckets); when
+    given, the seed min-merge fuses into the decode's final layer."""
+    import os
+    import time
+
     import ray
     import ray.data as rd
 
-    route = ray.remote(_route_edges_task)
+    _t = [time.time()]
+    _force = bool(os.environ.get("GRAFT_CC_TRACE"))
+
+    route = ray.remote(_route_pairs_task)
     concat = ray.remote(_concat_task)
     enc_local = ray.remote(_encode_local_task)
     enc_answer = ray.remote(_encode_answer_task)
     enc_finish = ray.remote(_encode_finish_task)
-    init = ray.remote(_init_labels_task)
     join_wave = ray.remote(_join_wave_task)
     reduce_wave = ray.remote(_reduce_wave_task)
     dec_emit = ray.remote(_decode_emit_task)
     dec_resolve = ray.remote(_decode_resolve_task)
 
-    block_refs = [ref for bundle in
-                  edges_ds.materialize().iter_internal_ref_bundles()
+    block_refs = [ref for bundle in pairs_ds.iter_internal_ref_bundles()
                   for ref, meta in bundle.blocks if meta.num_rows]
-    routed = [route.options(num_returns=n).remote(ref, n)
+    routed = [route.options(num_returns=n).remote(ref, node_a, node_b, n)
               for ref in block_refs]
-    buckets_s = [concat.remote(_EDGE_SCHEMA, *[r[k] for r in routed])
-                 for k in range(n)]
-    # dict-encode: vocab per bucket, dst ids via request/answer exchange
-    enc = [enc_local.options(num_returns=2 + n).remote(buckets_s[b], n, b)
-           for b in range(n)]
+    # dict-encode: vocab per bucket, dst ids via request/answer
+    # exchange; the routed parts concat INSIDE enc_local and labels₀
+    # comes fused out of enc_finish — two fewer sequential task layers
+    # (each layer was a full serialize/deserialize of every bucket).
+    enc = [enc_local.options(num_returns=2 + n).remote(
+        n, b, *[r[b] for r in routed]) for b in range(n)]
     vocabs = [enc[b][0] for b in range(n)]
     answers = [enc_answer.options(num_returns=n).remote(
         vocabs[o], n, o, *[enc[b][2 + o] for b in range(n)])
         for o in range(n)]
-    buckets = [enc_finish.remote(enc[b][1],
-                                 *[answers[o][b] for o in range(n)])
-               for b in range(n)]
-    labels = [init.remote(b) for b in buckets]
+    fin = [enc_finish.options(num_returns=2).remote(
+        enc[b][1], *[answers[o][b] for o in range(n)])
+        for b in range(n)]
+    buckets = [fin[b][0] for b in range(n)]
+    labels = [fin[b][1] for b in range(n)]
     jump: list[list] = [[] for _ in range(n)]
+    if _force:                      # barrier only in forensics mode
+        ray.wait(labels, num_returns=len(labels))
+        _trace(f"route+encode+init (n={n})", _t)
 
     converged = False
-    for _ in range(max_iters):
+    for _w in range(max_iters):
         a_out = [join_wave.options(num_returns=n).remote(
             buckets[j], labels[j], n, *jump[j]) for j in range(n)]
         b_out = [reduce_wave.options(num_returns=2 + n).remote(
@@ -484,6 +538,7 @@ def _bsp_components(edges_ds, n: int, max_iters: int):
         labels = [b_out[k][0] for k in range(n)]
         jump = [[b_out[k][2 + m] for k in range(n)] for m in range(n)]
         changed = sum(ray.get([b_out[k][1] for k in range(n)]))
+        _trace(f"wave {_w} (changed={changed})", _t)
         if changed == 0:
             converged = True
             break
@@ -501,9 +556,21 @@ def _bsp_components(edges_ds, n: int, max_iters: int):
         labels[k], vocabs[k], n) for k in range(n)]
     resolved = [dec_resolve.options(num_returns=n).remote(
         n, *[emitted[j][k] for j in range(n)]) for k in range(n)]
-    final = [concat.remote(_LABEL_SCHEMA,
-                           *[resolved[o][k] for o in range(n)])
-             for k in range(n)]
+    if seed_routed:
+        # fused final layer: the per-bucket concat of resolved parts
+        # and the seed min-merge are ONE task (seed-only nodes become
+        # singletons; edge nodes keep their component label)
+        merge = ray.remote(_merge_seed_bucket_task)
+        final = [merge.remote(*[resolved[o][k] for o in range(n)],
+                              *[r[k] for r in seed_routed])
+                 for k in range(n)]
+    else:
+        final = [concat.remote(_LABEL_SCHEMA,
+                               *[resolved[o][k] for o in range(n)])
+                 for k in range(n)]
+    if _force:
+        ray.wait(final, num_returns=len(final))
+        _trace("decode", _t)
     return final        # per-bucket refs, hash-partitioned by node
 
 
