@@ -183,3 +183,28 @@ def test_bucket_of_buffer_hash_edge_cases():
     assert all_null.shape == (2,)
     mixed_null = _bucket_of(pa.array(["a", None, ""], pa.string()), 8)
     assert mixed_null[0] == b0[1] and mixed_null[2] == b0[0]
+
+
+def test_fused_bsp_task_edge_cases():
+    """The fused encode/merge layers must survive empty parts and
+    seed-only buckets (pure task functions — no Ray needed)."""
+    from orchid_fst_ray.stages import clustering as C
+
+    out = C._encode_local_task(4, 1, C._empty(C._EDGE_SCHEMA),
+                               C._empty(C._EDGE_SCHEMA))
+    assert len(out) == 2 + 4 and out[0].num_rows == 0
+
+    fin = C._encode_finish_task(C._empty(C._STATE_SCHEMA))
+    assert isinstance(fin, list) and len(fin) == 2
+    assert fin[0].num_rows == 0 and fin[1].num_rows == 0
+
+    # min-merge over concatenated parts: duplicate nodes collapse to
+    # their min label, seed-only nodes stay singletons
+    m = C._merge_seed_bucket_task(
+        pa.table({"node": ["a", "a", "b"], "label": ["a", "x", "b"]}))
+    got = dict(zip(m["node"].to_pylist(), m["label"].to_pylist()))
+    assert got == {"a": "a", "b": "b"}
+
+    parts = C._route_pairs_task(pa.table({"u": ["x"], "v": ["y"]}),
+                                "u", "v", 2)
+    assert sum(p.num_rows for p in parts) == 2   # both directions
