@@ -398,8 +398,13 @@ def scaling(repeats: int = 3) -> None:
     import statistics
     all_runs = []
     runs_by_cpu: dict[int, list] = {8: [], 32: []}
-    for n_cpu in (8, 32):
-        for _ in range(repeats):
+    # INTERLEAVED order (8,32) x repeats, not all-8s-then-all-32s: this
+    # box has multi-minute windows where everything runs 2-4x slower
+    # (BASELINE.md), and a window overlapping one size's whole block
+    # skews the efficiency ratio systematically; adjacent pairs see
+    # the same conditions, so the per-size medians stay comparable.
+    for _ in range(repeats):
+        for n_cpu in (8, 32):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(n_cpu)
             p = subprocess.run(
