@@ -256,6 +256,24 @@ def _median(vals: list[float]) -> float:
     return round(statistics.median(vals), 3)
 
 
+def _calibration() -> float:
+    """Fixed single-core numpy workload: a pure-CPU yardstick recorded
+    alongside the measurements. This box has multi-minute windows
+    where EVERYTHING runs 2-4x slower (BASELINE.md documents the
+    history); the calibration makes those windows visible inside the
+    bench JSON itself, so a round-over-round per-query comparison can
+    be read against the machine state that produced it. Healthy-box
+    reference: ~0.5 s (one untimed warmup round excludes cold-start
+    page faults, which alone measured 3.5 s)."""
+    import numpy as np
+    a = np.random.default_rng(0).integers(0, 1 << 40, 8_000_000)
+    np.sort(a)                       # warmup, untimed
+    t0 = time.time()
+    for _ in range(3):
+        np.sort(a)
+    return round(time.time() - t0, 3)
+
+
 def _isolated_medians(names: list[str], repeats: int) -> tuple[dict, dict]:
     """Median-of-``repeats`` fresh-process wall per query. Returns
     (medians, {query: {"median", "runs"}}) so both the headline
@@ -279,6 +297,7 @@ def _isolated_medians(names: list[str], repeats: int) -> tuple[dict, dict]:
 
 def main() -> None:
     repeats = 1 if os.environ.get("GRAFT_BENCH_FAST") else REPEATS
+    calib_before = _calibration()
     # headline ER: median of fresh-process runs (r3 verdict: every
     # recorded perf number must be an isolated median, not a value
     # from an aged in-sequence sweep)
@@ -319,6 +338,8 @@ def main() -> None:
         "scale_100k": scale,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "calibration_sec": {"before": calib_before,
+                            "healthy_ref": 0.5},
     }
     # heavier scale-trend points (skippable while iterating locally)
     if not os.environ.get("GRAFT_BENCH_FAST"):
@@ -345,6 +366,7 @@ def main() -> None:
                 runs=[r["wall_sec"] for r in cc_ok])
         else:
             out["cc_stress_10m"] = cc_runs[0]
+    out["calibration_sec"]["after"] = _calibration()
     print(json.dumps(out))
     import ray
     if ray.is_initialized():
@@ -384,7 +406,8 @@ def _scaling_child(num_cpus: int) -> None:
     wall = time.time() - t0
     print(json.dumps({"num_cpus": num_cpus, "wall_sec": round(wall, 3),
                       "docs_per_sec": round(n / wall, 2),
-                      "n_pages": n, "assignment_rows": rows}))
+                      "n_pages": n, "assignment_rows": rows,
+                      "calib_sec": _calibration()}))
     import ray
     ray.shutdown()
 
