@@ -388,14 +388,13 @@ class SliceCandidates:
         self.url_col = url_col
 
     def _slice_pairs(self, keys: np.ndarray, s: int,
-                     k_total: int) -> tuple[np.ndarray, np.ndarray]:
+                     k_total: int, fst) -> tuple[np.ndarray, np.ndarray]:
         """(I, J) matched distinct-key index pairs for THIS slice's
         queries against the whole host's sorted distinct keys. Slices
         are CONTIGUOUS rank ranges: a strided (every-Kth-rank) slice
         measured 2.7x the cost of a contiguous one — the prober's
         per-level step-table dedup collapses states across adjacent
         (prefix-sharing) queries but not across spread-out ones."""
-        fst = build_probe_trie(keys)
         L = len(keys)
         lo, hi = (s * L) // k_total, ((s + 1) * L) // k_total
         q_ranks = np.arange(lo, hi, dtype=np.int64)
@@ -456,6 +455,13 @@ class SliceCandidates:
                                  | (sf[1:] != sf[:-1])) + 1,
              [n])).astype(np.int64)
         parts: list[pa.Table] = []
+        # every slice of a host carries ALL the host's rows, so the
+        # distinct-key array — and therefore the probe trie — is
+        # identical across a host's slice segments: build it once per
+        # host and reuse it for every slice that landed in this block
+        # (the [host, _slice] sort makes a host's slices contiguous)
+        last_blk = None
+        last_fst = None
         for si in range(len(seg) - 1):
             lo, hi = int(seg[si]), int(seg[si + 1])
             blk = bf[lo]
@@ -469,7 +475,9 @@ class SliceCandidates:
             keys = krows[bounds[:-1]]
             counts = bounds[1:] - bounds[:-1]
             offsets = bounds[:-1]
-            I, J = self._slice_pairs(keys, s, k_total)
+            if blk != last_blk:
+                last_blk, last_fst = blk, build_probe_trie(keys)
+            I, J = self._slice_pairs(keys, s, k_total, last_fst)
             if len(I):
                 ia_idx, ib_idx, pid = _expand_cross(counts, offsets,
                                                     I, J)
