@@ -45,6 +45,10 @@ def _warmup() -> None:
     ds = rd.from_arrow(t).repartition(NUM_CPUS)
     ds.map_batches(lambda b: b, batch_format="pyarrow") \
         .groupby("k").aggregate(Min("v", alias_name="m")).count()
+    # the all-to-all sort machinery warms separately from groupby
+    # (sample/boundary/reduce operators); without this a fresh
+    # session's FIRST sort pays it inside the measured window
+    rd.from_arrow(t).repartition(NUM_CPUS).sort("k").count()
 
 
 def run_er_bench(sf_dir: str) -> tuple[float, int, dict]:
