@@ -416,22 +416,57 @@ def _scaling_child(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def _bandwidth_ceiling() -> dict:
+    """Per-process wall of ONE fixed single-core memory-heavy kernel
+    at increasing concurrency — the measured shared-DRAM artifact of
+    running 'N vs 4N nodes' as CPU counts on ONE box. On a real
+    cluster each node brings its own memory channels, so the N→4N
+    criterion tests scheduler/shuffle scaling; here 32-way concurrency
+    also divides one machine's bandwidth (measured: the SAME kernel
+    ~3x slower per process at 32-way than at 8-way). Recording the
+    curve makes that artifact explicit and separable in the JSON."""
+    import statistics
+    kernel = (
+        "import time, numpy as np\n"
+        "a = np.random.default_rng(0).integers(0, 1 << 40, 8_000_000)\n"
+        "np.sort(a)\n"
+        "t0 = time.time()\n"
+        "for _ in range(3): np.sort(a)\n"
+        "print(time.time() - t0)\n")
+    out = {}
+    for k in (1, 8, 16, 32):
+        ps = [subprocess.Popen([sys.executable, "-c", kernel],
+                               stdout=subprocess.PIPE, text=True)
+              for _ in range(k)]
+        walls = [float(p.communicate()[0]) for p in ps]
+        out[str(k)] = round(statistics.median(walls), 3)
+    return out
+
+
+def _scaling_pair() -> tuple[int, int]:
+    lo, hi = (int(x) for x in os.environ.get(
+        "GRAFT_SCALING_CPUS", "8,32").split(","))
+    return lo, hi
+
+
 def scaling(repeats: int = 3) -> None:
-    """Same job, same input, fresh processes at 8 then 32 CPUs.
+    """Same job, same input, fresh processes at N then 4N CPUs
+    (default 8,32; override with GRAFT_SCALING_CPUS="4,16").
     Each CPU count runs ``repeats`` times; the MEDIAN throughput per
     size is the headline (single-box scheduler noise is ±30% on
     individual runs — the median is the robust center), with best-of
     and per-size spread recorded alongside every raw run."""
     import statistics
+    lo_cpu, hi_cpu = _scaling_pair()
     all_runs = []
-    runs_by_cpu: dict[int, list] = {8: [], 32: []}
+    runs_by_cpu: dict[int, list] = {lo_cpu: [], hi_cpu: []}
     # INTERLEAVED order (8,32) x repeats, not all-8s-then-all-32s: this
     # box has multi-minute windows where everything runs 2-4x slower
     # (BASELINE.md), and a window overlapping one size's whole block
     # skews the efficiency ratio systematically; adjacent pairs see
     # the same conditions, so the per-size medians stay comparable.
     for _ in range(repeats):
-        for n_cpu in (8, 32):
+        for n_cpu in (lo_cpu, hi_cpu):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(n_cpu)
             p = subprocess.run(
@@ -443,22 +478,25 @@ def scaling(repeats: int = 3) -> None:
             run = json.loads(line)
             all_runs.append(run)
             runs_by_cpu[n_cpu].append(run["docs_per_sec"])
-    med8 = statistics.median(runs_by_cpu[8])
-    med32 = statistics.median(runs_by_cpu[32])
-    eff = round(med32 / med8 / 4.0, 3)
+    med_lo = statistics.median(runs_by_cpu[lo_cpu])
+    med_hi = statistics.median(runs_by_cpu[hi_cpu])
+    ratio = hi_cpu / lo_cpu
+    eff = round(med_hi / med_lo / ratio, 3)
     spread = {str(c): {"median": statistics.median(v),
                        "best": max(v), "worst": min(v),
                        "runs": v}
               for c, v in runs_by_cpu.items()}
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo_cpu}_to_{hi_cpu}",
         "value": eff,
         "unit": "efficiency",
         "basis": f"median_of_{repeats}",
         "best_of_efficiency": round(
-            max(runs_by_cpu[32]) / max(runs_by_cpu[8]) / 4.0, 3),
+            max(runs_by_cpu[hi_cpu]) / max(runs_by_cpu[lo_cpu])
+            / ratio, 3),
         "spread": spread,
         "all_runs": all_runs,
+        "bandwidth_ceiling_kernel_sec": _bandwidth_ceiling(),
         "sf": SF_DIR,
     }))
 
