@@ -449,7 +449,22 @@ def _scaling_pair() -> tuple[int, int]:
     return lo, hi
 
 
-def scaling(repeats: int = 3) -> None:
+def _one_scaling_run(n_cpu: int, pages: int | None = None) -> dict:
+    """One fresh-process ER run at ``n_cpu`` CPUs (optionally on a
+    ``pages``-sized fixture instead of SCALING_PAGES)."""
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(n_cpu)
+    if pages is not None:
+        env["GRAFT_SCALING_PAGES"] = str(pages)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--scaling-child", str(n_cpu)],
+        capture_output=True, text=True, env=env, timeout=3600)
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def scaling(repeats: int = REPEATS) -> None:
     """Same job, same input, fresh processes at N then 4N CPUs
     (default 8,32; override with GRAFT_SCALING_CPUS="4,16").
     Each CPU count runs ``repeats`` times; the MEDIAN throughput per
@@ -467,15 +482,7 @@ def scaling(repeats: int = 3) -> None:
     # the same conditions, so the per-size medians stay comparable.
     for _ in range(repeats):
         for n_cpu in (lo_cpu, hi_cpu):
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(n_cpu)
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scaling-child", str(n_cpu)],
-                capture_output=True, text=True, env=env, timeout=3600)
-            line = [l for l in p.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            run = json.loads(line)
+            run = _one_scaling_run(n_cpu)
             all_runs.append(run)
             runs_by_cpu[n_cpu].append(run["docs_per_sec"])
     med_lo = statistics.median(runs_by_cpu[lo_cpu])
@@ -486,6 +493,32 @@ def scaling(repeats: int = 3) -> None:
                        "best": max(v), "worst": min(v),
                        "runs": v}
               for c, v in runs_by_cpu.items()}
+    weak = None
+    if os.environ.get("GRAFT_SCALING_WEAK"):
+        # WEAK scaling: lo CPUs on a lo/hi-scaled fixture vs hi CPUs
+        # on the full fixture — per-CPU work held constant. On a real
+        # N→4N-NODE cluster every node brings its own memory channels,
+        # so strong scaling there sits between this box's strong
+        # (shared-DRAM-capped, see bandwidth_ceiling_kernel_sec) and
+        # weak numbers; both are recorded to bracket it.
+        lo_pages = SCALING_PAGES * lo_cpu // hi_cpu
+        weak_lo, weak_hi = [], []
+        for _ in range(repeats):
+            weak_lo.append(_one_scaling_run(lo_cpu, pages=lo_pages))
+            weak_hi.append(_one_scaling_run(hi_cpu))
+        wlo = statistics.median(
+            [r["docs_per_sec"] for r in weak_lo])
+        whi = statistics.median(
+            [r["docs_per_sec"] for r in weak_hi])
+        weak = {
+            "efficiency": round(whi / wlo / ratio, 3),
+            "lo": {"num_cpus": lo_cpu, "n_pages": lo_pages,
+                   "docs_per_sec_median": wlo,
+                   "runs": [r["docs_per_sec"] for r in weak_lo]},
+            "hi": {"num_cpus": hi_cpu, "n_pages": SCALING_PAGES,
+                   "docs_per_sec_median": whi,
+                   "runs": [r["docs_per_sec"] for r in weak_hi]},
+        }
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo_cpu}_to_{hi_cpu}",
         "value": eff,
@@ -497,6 +530,7 @@ def scaling(repeats: int = 3) -> None:
         "spread": spread,
         "all_runs": all_runs,
         "bandwidth_ceiling_kernel_sec": _bandwidth_ceiling(),
+        "weak_scaling": weak,
         "sf": SF_DIR,
     }))
 

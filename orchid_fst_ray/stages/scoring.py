@@ -59,11 +59,14 @@ class PairScorer:
                             ELSE -1 END AS dl
                 FROM batch
                 """).arrow()
+            import numpy as np
             jw = scores["jw"]
             es = scores["edit_sim"]
-            dl = scores["dl"].to_pylist()
-            bad = [i for i, d in enumerate(dl) if d < 0]
-            if bad:
+            dl = scores["dl"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            bad = np.flatnonzero(dl < 0)
+            if len(bad):
+                dl = dl.copy()
                 # non-ASCII rows: DuckDB's distances count BYTES, so
                 # every similarity (not just char_dist) is recomputed
                 # with the character-level Python kernels — else
@@ -85,7 +88,7 @@ class PairScorer:
                                                               len(b)))
                 jw = pa.array(jw_np, pa.float64())
                 es = pa.array(es_np, pa.float64())
-            cd = pa.array(dl, pa.int32())
+            cd = pa.array(dl.astype(np.int32, copy=False))
         else:  # pragma: no cover
             from orchid_fst_ray.fst import levenshtein
             ka = batch["key_a"].to_pylist()
