@@ -381,11 +381,15 @@ def main() -> None:
 # hosts, candidate fan-out) the 250k fixture became overhead-dominated
 # at 32 CPUs — the same reason rounds 2 and 3 moved this knob from
 # 22.5k to 100k to 250k. The workload must keep 32 CPUs compute-bound.
-# Note the measured ceiling documented in BASELINE.md: the identical
-# task graph burns ~2x the CPU-seconds at 32-way concurrency on this
-# single box (mixed-workload cache/bandwidth contention a multi-node
-# cluster does not share), so same-input strong scaling tops out
-# around 0.65 here; weak scaling (4x data on 4x CPUs) holds ~0.8.
+# The single-box DRAM artifact (bandwidth_ceiling_kernel_sec in the
+# scaling JSON) varies with machine state: in degraded windows the
+# same kernel runs ~3x slower per process at 32-way than 8-way and
+# strong scaling reads ~0.65-0.75; in healthy windows the curve is
+# ~1.6x flat and strong 8->32 measures ~0.85. Weak scaling (4x pages
+# on 4x CPUs) measured 0.67 — NOT a cleaner bracket here, because the
+# ER workload's per-page cost rises with corpus size (the Zipf head's
+# hosts densify), which the strong same-input pair cancels out and
+# the weak pair conflates (see BASELINE.md round 4).
 SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
 
 
