@@ -525,6 +525,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             image_feature_pipeline, synth_image_table)
         return image_feature_pipeline(synth_image_table(sf_dir))
 
+    def multimodal_image_codecs(sf_dir: str):
+        """Same feature pipeline over a MIXED-container corpus: the
+        image column cycles ppm / PNG / baseline-JPEG by row, and the
+        decode stage dispatches per row on magic bytes — PNG and JPEG
+        are decoded for real in-container (pure numpy + stdlib zlib,
+        `stages/imagecodecs.py`). PNG rows produce features identical
+        to their ppm twins (lossless); JPEG rows are within codec
+        tolerance (pinned by pytest)."""
+        from orchid_fst_ray.stages.multimodal import (
+            image_feature_pipeline, synth_image_table)
+        return image_feature_pipeline(
+            synth_image_table(sf_dir, fmt="mixed"))
+
     def multimodal_audio_frames(sf_dir: str):
         from orchid_fst_ray.stages.multimodal import (
             audio_frame_pipeline, synth_audio_table)
@@ -582,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_core_clusters": er_core_clusters,
         "er_clusters": er_clusters,
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_image_codecs": multimodal_image_codecs,
         "multimodal_audio_frames": multimodal_audio_frames,
         "multimodal_video_frames": multimodal_video_frames,
     }

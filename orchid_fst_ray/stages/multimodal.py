@@ -6,11 +6,13 @@ feature-extract / frame-sample are **actor-pool map_batches stages**
 (callable classes — per-actor setup in ``__init__``, per-batch work in
 ``__call__``) sized with small batches because payload rows are wide.
 
-Container formats: PPM (P6) images and PCM16 WAV audio are decoded for
-real (pure numpy/struct — no external libs). Anything else
-(JPEG/PNG/MP3/...) raises ``NotImplementedError`` — the decode step is
-STUBBED for codecs that need external libraries (pillow/ffmpeg are not
-in this container); the Ray-side plumbing (schema, batch sizing, actor
+Container formats decoded for REAL (pure numpy/stdlib — no external
+libs): PPM (P6), PNG (zlib + unfilter, ``stages/imagecodecs.py``),
+baseline JPEG (canonical Huffman + batched IDCT, same module), PCM16
+WAV, and the RAWV raw-RGB video container. Still STUBBED with a loud
+``NotImplementedError`` (need codec libraries this container lacks):
+GIF/WEBP/TIFF, 16-bit or interlaced PNG, progressive JPEG, MP3, and
+MP4/AVI. The Ray-side plumbing (schema, batch sizing, actor
 signature, output layout) is real and tested either way.
 """
 
@@ -21,13 +23,18 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from orchid_fst_ray.stages.imagecodecs import (  # noqa: F401
+    decode_jpeg, decode_png, encode_jpeg, encode_png)
+
 __all__ = [
     "synth_image_table", "synth_audio_table", "synth_video_table",
     "ImageDecodeResize", "ImageMeanPoolFeatures", "AudioFrameSample",
     "VideoFrameSample",
     "image_feature_pipeline", "audio_frame_pipeline",
     "video_frame_pipeline",
-    "decode_ppm", "encode_ppm", "decode_wav_pcm16", "encode_wav_pcm16",
+    "decode_ppm", "encode_ppm", "decode_image",
+    "decode_png", "encode_png", "decode_jpeg", "encode_jpeg",
+    "decode_wav_pcm16", "encode_wav_pcm16",
     "decode_rawv", "encode_rawv",
 ]
 
@@ -44,17 +51,30 @@ def encode_ppm(img: np.ndarray) -> bytes:
 def decode_ppm(data: bytes) -> np.ndarray:
     """binary PPM (P6) → (h, w, 3) uint8. Real decoder (no stub)."""
     if not data.startswith(b"P6"):
-        # STUB: external-codec formats (JPEG/PNG/...) need pillow,
-        # which is not in this container.
-        raise NotImplementedError(
-            "only PPM (P6) decode is implemented in-container; "
-            "JPEG/PNG decode requires an external library")
+        raise ValueError("not a PPM (P6) byte stream")
     parts = data.split(b"\n", 3)
     w, h = map(int, parts[1].split())
     maxval = int(parts[2])
     assert maxval == 255
     return np.frombuffer(parts[3], dtype=np.uint8,
                          count=h * w * 3).reshape(h, w, 3)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Any supported image byte stream → (h, w, 3) uint8, dispatched
+    on magic bytes: PPM (P6), PNG, baseline JPEG — all decoded for
+    real in-container. GIF/WEBP/TIFF (and progressive JPEG /
+    16-bit PNG inside their decoders) raise ``NotImplementedError``
+    — honest stubs for codecs that need external libraries."""
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:2] == b"\xFF\xD8":
+        return decode_jpeg(data)
+    raise NotImplementedError(
+        "unrecognized image container (PPM/PNG/baseline-JPEG are "
+        "decodable in-container; GIF/WEBP/TIFF need external libs)")
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -81,24 +101,33 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
 
 # ----------------------------------------------- deterministic fixtures
 
-def synth_image_table(sf_dir: str, size: int = 32):
-    """One deterministic PPM image per document id (seeded gradient +
-    id-keyed noise): (item_id, image: binary, format, width, height)."""
+def synth_image_table(sf_dir: str, size: int = 32, fmt: str = "ppm"):
+    """One deterministic image per document id (seeded gradient +
+    id-keyed noise): (item_id, image: binary, format, width, height).
+    ``fmt`` picks the container: "ppm" (default), "png" (lossless —
+    pixel-identical to the ppm variant), "jpeg" (baseline, q=95), or
+    "mixed" (per-row container cycling ppm/png/jpeg by id — the shape
+    of a real crawled corpus, one decode dispatch per row)."""
     import ray.data as rd
+    encoders = {"ppm": encode_ppm, "png": encode_png,
+                "jpeg": lambda im: encode_jpeg(im, quality=95)}
+    cycle = ["ppm", "png", "jpeg"]
 
     def to_images(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        blobs = []
+        blobs, fmts = [], []
         for i in ids:
             rng = np.random.RandomState(0xC0FFEE ^ int(i))
             base = np.linspace(0, 255, size, dtype=np.float64)
             img = (base[None, :, None] * 0.5 + base[:, None, None] * 0.3
                    + rng.randint(0, 64, (size, size, 3)))
-            blobs.append(encode_ppm(np.clip(img, 0, 255).astype(np.uint8)))
+            f = cycle[int(i) % 3] if fmt == "mixed" else fmt
+            blobs.append(encoders[f](np.clip(img, 0, 255).astype(np.uint8)))
+            fmts.append(f)
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "image": pa.array(blobs, pa.binary()),
-            "format": pa.array(["ppm"] * len(ids), pa.string()),
+            "format": pa.array(fmts, pa.string()),
             "width": pa.array([size] * len(ids), pa.int32()),
             "height": pa.array([size] * len(ids), pa.int32()),
         })
@@ -218,13 +247,14 @@ class ImageDecodeResize:
     def __call__(self, t: pa.Table) -> pa.Table:
         blobs = []
         for raw in t["image"].to_pylist():
-            img = decode_ppm(raw)
+            img = decode_image(raw)
             ys, xs = self._grid(img.shape[0], img.shape[1])
             blobs.append(encode_ppm(np.ascontiguousarray(img[ys, xs])))
         return pa.table({
             "item_id": t["item_id"],
             "image": pa.array(blobs, pa.binary()),
-            "format": t["format"],
+            # resize re-encodes as PPM whatever came in (ppm/png/jpeg)
+            "format": pa.array(["ppm"] * t.num_rows, pa.string()),
             "width": pa.array([self.out] * t.num_rows, pa.int32()),
             "height": pa.array([self.out] * t.num_rows, pa.int32()),
         })
@@ -242,7 +272,7 @@ class ImageMeanPoolFeatures:
         feats = []
         g = self.grid
         for raw in t["image"].to_pylist():
-            img = decode_ppm(raw).astype(np.float32)
+            img = decode_image(raw).astype(np.float32)
             h, w, _ = img.shape
             ph, pw = h // g, w // g
             img = img[:ph * g, :pw * g]

@@ -26,10 +26,14 @@ def test_wav_roundtrip():
 
 
 def test_external_codecs_are_stubbed():
+    # PNG and baseline JPEG are decoded for REAL now
+    # (tests/test_imagecodecs.py); the remaining stubs stay loud
     with pytest.raises(NotImplementedError):
-        mm.decode_ppm(b"\xff\xd8\xff\xe0 jpeg-ish")
+        mm.decode_image(b"GIF89a gif-ish")
     with pytest.raises(NotImplementedError):
         mm.decode_wav_pcm16(b"ID3\x04 mp3-ish")
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"\xff\xd8\xff\xe0 jpeg bytes are not ppm")
 
 
 def test_image_feature_pipeline(ray_session):
