@@ -527,12 +527,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def multimodal_image_codecs(sf_dir: str):
         """Same feature pipeline over a MIXED-container corpus: the
-        image column cycles ppm / PNG / baseline-JPEG by row, and the
-        decode stage dispatches per row on magic bytes — PNG and JPEG
-        are decoded for real in-container (pure numpy + stdlib zlib,
-        `stages/imagecodecs.py`). PNG rows produce features identical
-        to their ppm twins (lossless); JPEG rows are within codec
-        tolerance (pinned by pytest)."""
+        image column cycles ppm / PNG / baseline-JPEG / BMP / GIF by
+        row, and the decode stage dispatches per row on magic bytes —
+        all five decoded for real in-container (pure numpy + stdlib,
+        `stages/imagecodecs.py`). PNG/BMP rows produce features
+        identical to their ppm twins (lossless); JPEG/GIF rows are
+        within codec tolerance (pinned by pytest)."""
         from orchid_fst_ray.stages.multimodal import (
             image_feature_pipeline, synth_image_table)
         return image_feature_pipeline(
@@ -543,12 +543,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             audio_frame_pipeline, synth_audio_table)
         return audio_frame_pipeline(synth_audio_table(sf_dir))
 
+    def multimodal_audio_codecs(sf_dir: str):
+        """Frame-RMS pipeline over a MIXED-encoding WAV corpus: the
+        audio column cycles PCM16 / IEEE-float32 / A-law / µ-law /
+        PCM8 by row (`stages/avcodecs.py` — all five decoded for real,
+        G.711 expansion is a 256-entry LUT gather). MP3 stays a loud
+        stub. Fidelity vs the PCM16 twin is pinned by pytest."""
+        from orchid_fst_ray.stages.multimodal import (
+            audio_frame_pipeline, synth_audio_table)
+        return audio_frame_pipeline(
+            synth_audio_table(sf_dir, fmt="mixed"))
+
     def multimodal_video_frames(sf_dir: str):
         """Frame-sample + featurize over an opaque video binary column
         (RAWV container decoded for real; MP4 stubbed)."""
         from orchid_fst_ray.stages.multimodal import (
             synth_video_table, video_frame_pipeline)
         return video_frame_pipeline(synth_video_table(sf_dir))
+
+    def multimodal_video_codecs(sf_dir: str):
+        """Same frame pipeline over a MIXED-container corpus cycling
+        RAWV / MJPEG-in-AVI / animated GIF by row — the AVI demux +
+        per-frame baseline-JPEG decode and the GIF LZW frames are real
+        in-container (`stages/avcodecs.py`, `stages/imagecodecs.py`);
+        MP4/MKV stay loud stubs. RAWV rows match the lossless twin
+        exactly; AVI/GIF rows within codec tolerance (pytest)."""
+        from orchid_fst_ray.stages.multimodal import (
+            synth_video_table, video_frame_pipeline)
+        return video_frame_pipeline(synth_video_table(sf_dir,
+                                                      fmt="mixed"))
 
     return {
         "dict_items": dict_items,
@@ -597,7 +620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": multimodal_image_features,
         "multimodal_image_codecs": multimodal_image_codecs,
         "multimodal_audio_frames": multimodal_audio_frames,
+        "multimodal_audio_codecs": multimodal_audio_codecs,
         "multimodal_video_frames": multimodal_video_frames,
+        "multimodal_video_codecs": multimodal_video_codecs,
     }
 
 

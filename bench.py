@@ -180,7 +180,8 @@ _QUERY_GROUPS = [
     ["token_stats", "quality_stats", "lang_id", "doc_fingerprints",
      "events_window", "events_sessions", "lineitem_summary",
      "orders_per_priority"],
-    ["multimodal_image_features", "multimodal_audio_frames"],
+    ["multimodal_image_features", "multimodal_image_codecs",
+     "multimodal_audio_frames"],
 ]
 
 

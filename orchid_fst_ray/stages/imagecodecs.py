@@ -31,6 +31,9 @@ import numpy as np
 __all__ = [
     "decode_png", "encode_png",
     "decode_jpeg", "encode_jpeg",
+    "decode_bmp", "encode_bmp",
+    "decode_gif", "encode_gif",
+    "decode_gif_frames", "encode_gif_frames",
 ]
 
 
@@ -711,3 +714,305 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += ecs + b"\xFF\xD9"
     return bytes(out)
+
+
+# =====================================================================
+# BMP  (Windows BITMAPINFOHEADER; public file-format documentation)
+# =====================================================================
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → uncompressed 24-bit bottom-up BMP bytes.
+    Lossless: ``decode_bmp(encode_bmp(x)) == x`` exactly."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(pix), 2835, 2835, 0, 0)
+    return hdr + info + pix
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, 3) uint8. Supports uncompressed (BI_RGB)
+    24- and 32-bit images, bottom-up or top-down. RLE/16-bit/palette
+    BMPs raise ``NotImplementedError``."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP byte stream")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hsize, w, h = struct.unpack_from("<Iii", data, 14)
+    if hsize < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp}: only BI_RGB "
+                                  "is decodable in-container")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP: only 24/32-bit "
+                                  "BI_RGB is decodable in-container")
+    top_down = h < 0
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, count=h * stride,
+                         offset=off).reshape(h, stride)
+    px = rows[:, :w * nb].reshape(h, w, nb)[:, :, 2::-1]  # BGR(A)→RGB
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+# =====================================================================
+# GIF  (GIF87a/89a; LZW per the public specification)
+# =====================================================================
+
+def _lzw_decode(min_code: int, data: bytes, n_px: int) -> np.ndarray:
+    """GIF-flavoured LZW (LSB-first variable-width codes) → palette
+    indices. The per-code Python loop is bounded by the compressed
+    byte count — fine inside the per-image actor loop."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = np.empty(n_px, np.uint8)
+    npos = 0
+    # bit reader state
+    buf = np.frombuffer(data, np.uint8)
+    acc = 0
+    nbits = 0
+    bpos = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if bpos >= len(buf):
+                return out[:npos]
+            acc |= int(buf[bpos]) << nbits
+            nbits += 8
+            bpos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF: corrupt LZW stream")
+        k = len(entry)
+        out[npos:npos + k] = np.frombuffer(entry, np.uint8)
+        npos += k
+        if npos >= n_px:
+            return out
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out[:npos]
+
+
+def _lzw_encode(min_code: int, idx: np.ndarray) -> bytes:
+    """GIF LZW encoder (LSB-first variable-width, dict reset at 4096)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    emit(clear)
+    prev = -1
+    for v in idx.tolist():
+        if prev < 0:
+            prev = v
+            continue
+        hit = table.get((prev, v))
+        if hit is not None:
+            prev = hit
+            continue
+        emit(prev)
+        table[(prev, v)] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table.clear()
+            next_code = end + 1
+            width = min_code + 1
+        prev = v
+    if prev >= 0:
+        emit(prev)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_quantize(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h, w, 3) uint8 → (palette (k,3), indices (h,w)). Exact palette
+    when the image has ≤256 distinct colors; otherwise a deterministic
+    posterize to 6 levels/channel (≤216 colors) — GIF is an indexed
+    format, >256-color sources are inherently lossy."""
+    h, w, _ = img.shape
+    packed = (img[:, :, 0].astype(np.uint32) << 16
+              | img[:, :, 1].astype(np.uint32) << 8
+              | img[:, :, 2].astype(np.uint32))
+    uniq = np.unique(packed)
+    if len(uniq) > 256:
+        img = ((img.astype(np.uint16) + 25) // 51 * 51).astype(np.uint8)
+        packed = (img[:, :, 0].astype(np.uint32) << 16
+                  | img[:, :, 1].astype(np.uint32) << 8
+                  | img[:, :, 2].astype(np.uint32))
+        uniq = np.unique(packed)
+    idx = np.searchsorted(uniq, packed).astype(np.uint8)
+    pal = np.stack([(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF,
+                    uniq & 0xFF], axis=1).astype(np.uint8)
+    return pal, idx.reshape(h, w)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → single-frame GIF89a. Lossless when the image
+    has ≤256 distinct colors (exact palette); >256-color images are
+    posterized deterministically (see ``_gif_quantize``)."""
+    return encode_gif_frames(img[None], fps=0)
+
+
+def encode_gif_frames(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 → animated GIF89a (full-frame images, one
+    shared quantization pass so every frame uses one global table)."""
+    n, h, w, _ = frames.shape
+    pal, idx_all = _gif_quantize(frames.reshape(n * h, w, 3))
+    idx_all = idx_all.reshape(n, h, w)
+    depth = max(1, int(np.ceil(np.log2(max(2, len(pal))))))
+    gct = np.zeros((1 << depth, 3), np.uint8)
+    gct[:len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += gct.tobytes()
+    delay = 0 if fps <= 0 else max(1, round(100 / fps))
+    for f in range(n):
+        if n > 1:
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        min_code = max(2, depth)
+        out.append(min_code)
+        lzw = _lzw_encode(min_code, idx_all[f].ravel())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → first frame as (h, w, 3) uint8."""
+    frames, _fps = decode_gif_frames(data)
+    return frames[0]
+
+
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, int]:
+    """GIF bytes → ((n, h, w, 3) uint8, fps). Real decoder: LZW,
+    interlacing, local color tables, 87a and 89a. Every image
+    descriptor must cover the full logical screen (partial-rect
+    frame composition with disposal methods raises
+    ``NotImplementedError``); transparency is ignored."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF byte stream")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        k = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, count=k * 3,
+                            offset=pos).reshape(k, 3)
+        pos += k * 3
+    frames = []
+    delay_cs = 0
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:                                   # trailer
+            break
+        if b0 == 0x21:                                   # extension
+            label = data[pos]
+            pos += 1
+            while True:
+                ln = data[pos]
+                if label == 0xF9 and ln == 4 and not delay_cs:
+                    (delay_cs,) = struct.unpack_from("<H", data, pos + 2)
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        left, top, iw, ih, ip = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise NotImplementedError(
+                "GIF partial-rect frames (disposal composition) not "
+                "supported in-container")
+        pal = gct
+        if ip & 0x80:
+            k = 2 << (ip & 7)
+            pal = np.frombuffer(data, np.uint8, count=k * 3,
+                                offset=pos).reshape(k, 3)
+            pos += k * 3
+        if pal is None:
+            raise ValueError("GIF: image without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            lzw += data[pos:pos + ln]
+            pos += ln
+        idx = np.zeros(ih * iw, np.uint8)
+        got = _lzw_decode(min_code, bytes(lzw), ih * iw)
+        idx[:len(got)] = got
+        idx = idx.reshape(ih, iw)
+        if ip & 0x40:                                    # interlaced
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, ih, step)
+                de[list(rows)] = idx[src:src + len(rows)]
+                src += len(rows)
+            idx = de
+        frames.append(pal[np.minimum(idx, len(pal) - 1)])
+    if not frames:
+        raise ValueError("GIF: no image data")
+    fps = 0 if delay_cs == 0 else max(1, round(100 / delay_cs))
+    return np.stack(frames), fps

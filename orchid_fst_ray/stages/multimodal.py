@@ -8,11 +8,12 @@ feature-extract / frame-sample are **actor-pool map_batches stages**
 
 Container formats decoded for REAL (pure numpy/stdlib — no external
 libs): PPM (P6), PNG (zlib + unfilter, ``stages/imagecodecs.py``),
-baseline JPEG (canonical Huffman + batched IDCT, same module), PCM16
-WAV, and the RAWV raw-RGB video container. Still STUBBED with a loud
-``NotImplementedError`` (need codec libraries this container lacks):
-GIF/WEBP/TIFF, 16-bit or interlaced PNG, progressive JPEG, MP3, and
-MP4/AVI. The Ray-side plumbing (schema, batch sizing, actor
+baseline JPEG (canonical Huffman + batched IDCT, same module), BMP
+(24/32-bit BI_RGB), GIF (LZW, incl. interlace + animation frames),
+PCM16 WAV, and the RAWV raw-RGB video container. Still STUBBED with a
+loud ``NotImplementedError`` (need codec libraries this container
+lacks): WEBP/TIFF, 16-bit or interlaced PNG, progressive JPEG, MP3,
+and MP4. The Ray-side plumbing (schema, batch sizing, actor
 signature, output layout) is real and tested either way.
 """
 
@@ -23,8 +24,11 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from orchid_fst_ray.stages.avcodecs import (  # noqa: F401
+    decode_avi_mjpeg, decode_wav, encode_avi_mjpeg, encode_wav)
 from orchid_fst_ray.stages.imagecodecs import (  # noqa: F401
-    decode_jpeg, decode_png, encode_jpeg, encode_png)
+    decode_bmp, decode_gif, decode_gif_frames, decode_jpeg, decode_png,
+    encode_bmp, encode_gif, encode_gif_frames, encode_jpeg, encode_png)
 
 __all__ = [
     "synth_image_table", "synth_audio_table", "synth_video_table",
@@ -34,8 +38,12 @@ __all__ = [
     "video_frame_pipeline",
     "decode_ppm", "encode_ppm", "decode_image",
     "decode_png", "encode_png", "decode_jpeg", "encode_jpeg",
-    "decode_wav_pcm16", "encode_wav_pcm16",
-    "decode_rawv", "encode_rawv",
+    "decode_bmp", "encode_bmp", "decode_gif", "encode_gif",
+    "decode_gif_frames", "encode_gif_frames",
+    "decode_wav_pcm16", "encode_wav_pcm16", "decode_audio",
+    "decode_wav", "encode_wav",
+    "decode_rawv", "encode_rawv", "decode_video",
+    "decode_avi_mjpeg", "encode_avi_mjpeg",
 ]
 
 
@@ -62,19 +70,24 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Any supported image byte stream → (h, w, 3) uint8, dispatched
-    on magic bytes: PPM (P6), PNG, baseline JPEG — all decoded for
-    real in-container. GIF/WEBP/TIFF (and progressive JPEG /
-    16-bit PNG inside their decoders) raise ``NotImplementedError``
-    — honest stubs for codecs that need external libraries."""
+    on magic bytes: PPM (P6), PNG, baseline JPEG, BMP, GIF — all
+    decoded for real in-container. WEBP/TIFF (and progressive JPEG /
+    16-bit PNG / RLE-BMP / partial-rect GIF inside their decoders)
+    raise ``NotImplementedError`` — honest stubs for codecs that need
+    external libraries."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
     if data[:2] == b"\xFF\xD8":
         return decode_jpeg(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     raise NotImplementedError(
-        "unrecognized image container (PPM/PNG/baseline-JPEG are "
-        "decodable in-container; GIF/WEBP/TIFF need external libs)")
+        "unrecognized image container (PPM/PNG/baseline-JPEG/BMP/GIF "
+        "are decodable in-container; WEBP/TIFF need external libs)")
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -99,19 +112,50 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2", count=n // 2, offset=44), rate
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Any supported audio byte stream → (mono int16 samples, rate).
+    RIFF/WAVE containers are decoded for real (integer PCM 8/16-bit,
+    IEEE float32, G.711 A-law/µ-law, any channel count — see
+    ``stages/avcodecs.py``). MP3/AAC raise ``NotImplementedError``."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    raise NotImplementedError(
+        "unrecognized audio container (WAV PCM/float/A-law/µ-law are "
+        "decodable in-container; MP3/AAC need external libs)")
+
+
+def decode_video(data: bytes) -> tuple[np.ndarray, int]:
+    """Any supported video byte stream → ((n, h, w, 3) uint8, fps),
+    dispatched on magic bytes: RAWV (raw RGB), MJPEG-in-AVI
+    (``stages/avcodecs.py``), and animated GIF — all decoded for real
+    in-container. MP4/MKV/H.264 raise ``NotImplementedError``."""
+    if data[:4] == b"RAWV":
+        return decode_rawv(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_mjpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_frames(data)
+    raise NotImplementedError(
+        "unrecognized video container (RAWV/MJPEG-AVI/animated-GIF are "
+        "decodable in-container; MP4/MKV need external libs)")
+
+
 # ----------------------------------------------- deterministic fixtures
 
 def synth_image_table(sf_dir: str, size: int = 32, fmt: str = "ppm"):
     """One deterministic image per document id (seeded gradient +
     id-keyed noise): (item_id, image: binary, format, width, height).
-    ``fmt`` picks the container: "ppm" (default), "png" (lossless —
-    pixel-identical to the ppm variant), "jpeg" (baseline, q=95), or
-    "mixed" (per-row container cycling ppm/png/jpeg by id — the shape
-    of a real crawled corpus, one decode dispatch per row)."""
+    ``fmt`` picks the container: "ppm" (default), "png" / "bmp"
+    (lossless — pixel-identical to the ppm variant), "jpeg"
+    (baseline, q=95), "gif" (posterized when >256 colors), or
+    "mixed" (per-row container cycling ppm/png/jpeg/bmp/gif by id —
+    the shape of a real crawled corpus, one decode dispatch per
+    row)."""
     import ray.data as rd
     encoders = {"ppm": encode_ppm, "png": encode_png,
-                "jpeg": lambda im: encode_jpeg(im, quality=95)}
-    cycle = ["ppm", "png", "jpeg"]
+                "jpeg": lambda im: encode_jpeg(im, quality=95),
+                "bmp": encode_bmp, "gif": encode_gif}
+    cycle = ["ppm", "png", "jpeg", "bmp", "gif"]
 
     def to_images(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -121,7 +165,7 @@ def synth_image_table(sf_dir: str, size: int = 32, fmt: str = "ppm"):
             base = np.linspace(0, 255, size, dtype=np.float64)
             img = (base[None, :, None] * 0.5 + base[:, None, None] * 0.3
                    + rng.randint(0, 64, (size, size, 3)))
-            f = cycle[int(i) % 3] if fmt == "mixed" else fmt
+            f = cycle[int(i) % len(cycle)] if fmt == "mixed" else fmt
             blobs.append(encoders[f](np.clip(img, 0, 255).astype(np.uint8)))
             fmts.append(f)
         return pa.table({
@@ -138,26 +182,33 @@ def synth_image_table(sf_dir: str, size: int = 32, fmt: str = "ppm"):
 
 
 def synth_audio_table(sf_dir: str, seconds: float = 0.25,
-                      rate: int = 16000):
-    """One deterministic PCM16 WAV clip per document id (id-keyed sine
-    mix): (item_id, audio: binary, format, sample_rate, n_samples)."""
+                      rate: int = 16000, fmt: str = "pcm16"):
+    """One deterministic WAV clip per document id (id-keyed sine mix):
+    (item_id, audio: binary, format, sample_rate, n_samples). ``fmt``
+    picks the sample encoding: "pcm16" (default; byte-identical to the
+    historical fixture), "float32", "alaw", "ulaw", "pcm8", or
+    "mixed" (per-row encoding cycling all five by id — one decode
+    dispatch per row, the shape of a real crawled corpus)."""
     import ray.data as rd
+    cycle = ["pcm16", "float32", "alaw", "ulaw", "pcm8"]
 
     def to_audio(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         n = int(seconds * rate)
         ts = np.arange(n) / rate
-        blobs = []
+        blobs, fmts = [], []
         for i in ids:
             f0 = 200.0 + (int(i) % 40) * 25.0
             wave = (0.6 * np.sin(2 * np.pi * f0 * ts)
                     + 0.3 * np.sin(2 * np.pi * 2 * f0 * ts))
-            blobs.append(encode_wav_pcm16(
-                (wave * 32000).astype(np.int16), rate))
+            f = cycle[int(i) % len(cycle)] if fmt == "mixed" else fmt
+            blobs.append(encode_wav(
+                (wave * 32000).astype(np.int16), rate, fmt=f))
+            fmts.append(f)
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "audio": pa.array(blobs, pa.binary()),
-            "format": pa.array(["wav"] * len(ids), pa.string()),
+            "format": pa.array(fmts, pa.string()),
             "sample_rate": pa.array([rate] * len(ids), pa.int32()),
             "n_samples": pa.array([n] * len(ids), pa.int32()),
         })
@@ -177,12 +228,11 @@ def encode_rawv(frames: np.ndarray, fps: int = 10) -> bytes:
 
 
 def decode_rawv(data: bytes) -> tuple[np.ndarray, int]:
-    """RAWV container → ((n, h, w, 3) uint8, fps). Real decoder.
-    MP4/AVI/... would need ffmpeg — STUBBED like JPEG/MP3."""
+    """RAWV container → ((n, h, w, 3) uint8, fps). Real decoder; see
+    ``decode_video`` for the MJPEG-AVI / animated-GIF dispatch (MP4
+    stays stubbed — needs ffmpeg)."""
     if not data.startswith(b"RAWV"):
-        raise NotImplementedError(
-            "only the RAWV raw-RGB container is decodable in-container; "
-            "MP4/AVI decode requires an external library (ffmpeg)")
+        raise ValueError("not a RAWV byte stream")
     n, h, w, fps = struct.unpack_from("<4I", data, 4)
     frames = np.frombuffer(data, dtype=np.uint8, offset=20,
                            count=n * h * w * 3).reshape(n, h, w, 3)
@@ -190,15 +240,23 @@ def decode_rawv(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def synth_video_table(sf_dir: str, n_frames: int = 8, size: int = 16,
-                      fps: int = 10):
-    """One deterministic RAWV clip per document id (drifting gradient —
+                      fps: int = 10, fmt: str = "rawv"):
+    """One deterministic clip per document id (drifting gradient —
     frame f shifts with f so motion is real):
-    (item_id, video: binary, format, n_frames, height, width, fps)."""
+    (item_id, video: binary, format, n_frames, height, width, fps).
+    ``fmt`` picks the container: "rawv" (default, lossless), "avi"
+    (MJPEG-in-AVI, codec-lossy), "gif" (animated, posterized), or
+    "mixed" (per-row container cycling all three by id)."""
     import ray.data as rd
+    encoders = {"rawv": encode_rawv,
+                "avi": lambda fr, fp: encode_avi_mjpeg(fr, fp,
+                                                       quality=95),
+                "gif": encode_gif_frames}
+    cycle = ["rawv", "avi", "gif"]
 
     def to_videos(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        blobs = []
+        blobs, fmts = [], []
         base = np.linspace(0, 255, size, dtype=np.float64)
         for i in ids:
             rng = np.random.RandomState(0xF1D0 ^ int(i))
@@ -208,11 +266,13 @@ def synth_video_table(sf_dir: str, n_frames: int = 8, size: int = 16,
                 img = (np.roll(base, f)[None, :, None] * 0.6
                        + base[:, None, None] * 0.3 + noise)
                 frames[f] = np.clip(img, 0, 255).astype(np.uint8)
-            blobs.append(encode_rawv(frames, fps))
+            c = cycle[int(i) % len(cycle)] if fmt == "mixed" else fmt
+            blobs.append(encoders[c](frames, fps))
+            fmts.append(c)
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "video": pa.array(blobs, pa.binary()),
-            "format": pa.array(["rawv"] * len(ids), pa.string()),
+            "format": pa.array(fmts, pa.string()),
             "n_frames": pa.array([n_frames] * len(ids), pa.int32()),
             "height": pa.array([size] * len(ids), pa.int32()),
             "width": pa.array([size] * len(ids), pa.int32()),
@@ -298,7 +358,7 @@ class AudioFrameSample:
         ids, frames, energies = [], [], []
         for i, raw in zip(t["item_id"].to_pylist(),
                           t["audio"].to_pylist()):
-            samples, rate = decode_wav_pcm16(raw)
+            samples, rate = decode_audio(raw)
             flen = max(1, rate * self.frame_ms // 1000)
             n_frames = len(samples) // flen
             x = samples[:n_frames * flen].astype(np.float64)
@@ -329,7 +389,7 @@ class VideoFrameSample:
         ids, fidx, feats = [], [], []
         for i, raw in zip(t["item_id"].to_pylist(),
                           t["video"].to_pylist()):
-            frames, _fps = decode_rawv(raw)
+            frames, _fps = decode_video(raw)
             sel = frames[::self.stride].astype(np.float32)
             n, h, w, _ = sel.shape
             ph, pw = h // g, w // g

@@ -15,7 +15,8 @@ import pytest
 
 from orchid_fst_ray.stages import multimodal as mm
 from orchid_fst_ray.stages.imagecodecs import (
-    decode_jpeg, decode_png, encode_jpeg, encode_png)
+    decode_bmp, decode_gif, decode_gif_frames, decode_jpeg, decode_png,
+    encode_bmp, encode_gif, encode_gif_frames, encode_jpeg, encode_png)
 
 SF = "/root/testdata/sf0.001"
 
@@ -167,16 +168,119 @@ def test_jpeg_progressive_rejected():
         decode_jpeg(b"\x89PNG not a jpeg")
 
 
+# ------------------------------------------------------------------ BMP
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 7), (17, 23), (64, 64)])
+def test_bmp_roundtrip_exact(shape):
+    rng = np.random.RandomState(sum(shape) + 1)
+    img = rng.randint(0, 256, (*shape, 3), np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_32bit_and_topdown():
+    rng = np.random.RandomState(13)
+    h, w = 5, 6
+    img = rng.randint(0, 256, (h, w, 3), np.uint8)
+    # hand-build a 32-bit top-down BMP (negative height, BGRA rows)
+    rows = np.zeros((h, w, 4), np.uint8)
+    rows[:, :, :3] = img[:, :, ::-1]
+    pix = rows.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0,
+                       len(pix), 0, 0, 0, 0)
+    assert np.array_equal(decode_bmp(hdr + info + pix), img)
+
+
+def test_bmp_unsupported_variants_raise():
+    blob = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    rle = bytes(blob[:30]) + struct.pack("<I", 1) + bytes(blob[34:])
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        decode_bmp(rle)
+    with pytest.raises(ValueError):
+        decode_bmp(b"GIF89a not a bmp")
+
+
+# ------------------------------------------------------------------ GIF
+
+def test_gif_roundtrip_exact_256_colors():
+    rng = np.random.RandomState(17)
+    img = (rng.randint(0, 6, (23, 31, 3)) * 51).astype(np.uint8)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) <= 216
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_lzw_dict_reset():
+    # enough pixels that the LZW table passes 4096 entries and resets
+    rng = np.random.RandomState(19)
+    img = (rng.randint(0, 6, (128, 128, 3)) * 51).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_posterize_deterministic_tolerance():
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (16, 16, 3), np.uint8)   # >256 colors
+    a, b = decode_gif(encode_gif(img)), decode_gif(encode_gif(img))
+    assert np.array_equal(a, b)
+    assert np.abs(a.astype(int) - img.astype(int)).max() <= 26
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF (pass-reordered rows) and check
+    the decoder untangles the Adam-style row schedule."""
+    from orchid_fst_ray.stages.imagecodecs import (
+        _GIF_INTERLACE, _lzw_encode)
+    rng = np.random.RandomState(29)
+    h, w = 13, 8
+    idx = rng.randint(0, 4, (h, w)).astype(np.uint8)
+    pal = (np.arange(12, dtype=np.uint8) * 20).reshape(4, 3)
+    order = [y for start, step in _GIF_INTERLACE
+             for y in range(start, h, step)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x81, 0, 0)     # GCT, depth 2
+    gct = np.zeros((4, 3), np.uint8)
+    gct[:] = pal
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)  # interlaced
+    out.append(2)
+    lzw = _lzw_encode(2, idx[order].ravel())
+    for i in range(0, len(lzw), 255):
+        out.append(len(lzw[i:i + 255]))
+        out += lzw[i:i + 255]
+    out += b"\x00\x3B"
+    assert np.array_equal(decode_gif(bytes(out)), pal[idx])
+
+
+def test_gif_animation_roundtrip():
+    rng = np.random.RandomState(31)
+    fr = (rng.randint(0, 6, (5, 12, 16, 3)) * 51).astype(np.uint8)
+    dec, fps = decode_gif_frames(encode_gif_frames(fr, fps=10))
+    assert np.array_equal(dec, fr)
+    assert fps == 10
+
+
+def test_gif_partial_rect_rejected():
+    blob = bytearray(encode_gif(np.zeros((4, 4, 3), np.uint8)))
+    k = blob.index(0x2C, 6)
+    struct.pack_into("<HH", blob, k + 1, 1, 1)          # left=top=1
+    with pytest.raises(NotImplementedError, match="partial"):
+        decode_gif(bytes(blob))
+
+
 # ------------------------------------------------- dispatch + pipelines
 
 def test_decode_image_dispatch():
     img = _smooth(16, 16, seed=1)
     assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
     assert np.array_equal(mm.decode_image(encode_png(img)), img)
+    assert np.array_equal(mm.decode_image(encode_bmp(img)), img)
     dec = mm.decode_image(encode_jpeg(img, quality=95))
     assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
-    with pytest.raises(NotImplementedError, match="GIF|external"):
-        mm.decode_image(b"GIF89a....")
+    gif = mm.decode_image(encode_gif(img))
+    assert np.abs(gif.astype(int) - img.astype(int)).max() <= 26
+    with pytest.raises(NotImplementedError, match="WEBP|external"):
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBP....")
+    with pytest.raises(NotImplementedError, match="WEBP|external"):
+        mm.decode_image(b"II*\x00....")
 
 
 def test_png_pipeline_features_equal_ppm(ray_session):
@@ -200,7 +304,12 @@ def test_mixed_pipeline_features(ray_session):
     v0 = np.stack(base.sort_values("item_id")["feature"].to_numpy())
     v1 = np.stack(mixed.sort_values("item_id")["feature"].to_numpy())
     ids = np.sort(base["item_id"].to_numpy())
-    lossless = ids % 3 != 2             # ppm + png rows
+    lossless = np.isin(ids % 5, (0, 1, 3))   # ppm / png / bmp rows
+    jpeg = ids % 5 == 2
+    gif = ids % 5 == 4
     assert np.array_equal(v0[lossless], v1[lossless])
     # jpeg rows (q=95) stay within codec tolerance of the ppm features
-    assert np.abs(v0[~lossless] - v1[~lossless]).max() < 0.05
+    assert np.abs(v0[jpeg] - v1[jpeg]).max() < 0.05
+    # gif rows posterize to 6 levels/channel: ≤26/255 per pixel, and
+    # mean-pooling keeps the feature deviation inside that bound
+    assert np.abs(v0[gif] - v1[gif]).max() <= 26 / 255 + 1e-6

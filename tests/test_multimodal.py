@@ -26,10 +26,12 @@ def test_wav_roundtrip():
 
 
 def test_external_codecs_are_stubbed():
-    # PNG and baseline JPEG are decoded for REAL now
+    # PNG/JPEG/BMP/GIF are decoded for REAL now
     # (tests/test_imagecodecs.py); the remaining stubs stay loud
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"GIF89a gif-ish")
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPwebp-ish")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"II*\x00 tiff-ish")
     with pytest.raises(NotImplementedError):
         mm.decode_wav_pcm16(b"ID3\x04 mp3-ish")
     with pytest.raises(ValueError):
@@ -80,8 +82,11 @@ def test_rawv_roundtrip():
 
 def test_video_codec_stubbed():
     import pytest
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        mm.decode_rawv(b"\x00\x00\x00\x18ftypmp42 fake mp4 header")
+    # MP4 stays a loud stub; RAWV/MJPEG-AVI/GIF are real (decode_video)
+    with pytest.raises(NotImplementedError, match="MP4|external"):
+        mm.decode_video(b"\x00\x00\x00\x18ftypmp42 fake mp4 header")
+    with pytest.raises(ValueError):
+        mm.decode_rawv(b"\x00\x00\x00\x18ftypmp42 not rawv")
 
 
 def test_video_frame_pipeline(ray_session):
