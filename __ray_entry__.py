@@ -426,6 +426,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Contamination / PII pre-filter counts (RE2 on both sides)."""
         return textstats.pii_scan(_docs(sf_dir)).sort("doc_id")
 
+    def _docs_meta(sf_dir: str):
+        import ray.data as rd
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def sample_hash(sf_dir: str):
+        """Deterministic 10 % corpus sample: stateless per-batch
+        filter on ``poly_hash64(str(doc_id)) % 10000 < 1000`` — no
+        shuffle, no RNG, reproducible and nested across rates
+        (pipelines/sampling.py). The oracle replays the hash in
+        HUGEINT."""
+        from orchid_fst_ray.pipelines import sampling
+        return sampling.hash_sample(_docs_meta(sf_dir),
+                                    0.10).sort("doc_id")
+
+    def sample_stratified(sf_dir: str):
+        """Per-language rebalance: downsample the head language (en →
+        5 %), keep half of every tail language — the classic corpus
+        rebalancing pass, still a pure key-hash filter per row."""
+        from orchid_fst_ray.pipelines import sampling
+        return sampling.stratified_sample(
+            _docs_meta(sf_dir), {"en": 0.05}, default_rate=0.5
+        ).sort("doc_id")
+
     def term_frequencies(sf_dir: str):
         """Corpus-wide top-50 token frequencies via per-block partial
         counts (the combiner pattern) + one small global aggregate."""
@@ -610,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprints": doc_fingerprints,
         "pii_scan": pii_scan,
+        "sample_hash": sample_hash,
+        "sample_stratified": sample_stratified,
         "term_frequencies": term_frequencies,
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
@@ -1375,6 +1401,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         "pii_scan": _PII_SQL,
+        # deterministic hash sampling: the SQL replays poly_hash64
+        # over str(doc_id) in HUGEINT — same integer thresholds as
+        # pipelines/sampling.py (GRANULARITY = 10000)
+        "sample_hash": f"""
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(doc_id AS VARCHAR) AS kstr
+              FROM documents)
+            SELECT doc_id, lang, n_chars FROM k
+            WHERE ({_sql_poly_token("kstr")}) % 10000 < 1000
+            ORDER BY doc_id""",
+        "sample_stratified": f"""
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(doc_id AS VARCHAR) AS kstr
+              FROM documents)
+            SELECT doc_id, lang, n_chars FROM k
+            WHERE ({_sql_poly_token("kstr")}) % 10000 <
+                  CASE WHEN lang = 'en' THEN 500 ELSE 5000 END
+            ORDER BY doc_id""",
         "term_frequencies": """
             WITH toks AS (
               SELECT unnest(list_filter(regexp_split_to_array(lower(text),
