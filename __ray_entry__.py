@@ -441,6 +441,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sampling.hash_sample(_docs_meta(sf_dir),
                                     0.10).sort("doc_id")
 
+    def doc_chunks(sf_dir: str):
+        """Context-window chunking: 64-token windows advancing by 48
+        (16-token overlap) over every document's ``[a-z0-9]+`` token
+        stream — the RAG/embedding preprocessing pass. Fully
+        vectorized (one gather-index build + one Arrow binary_join
+        per batch, pipelines/chunking.py); stateless, shuffle-free."""
+        from orchid_fst_ray.pipelines.chunking import doc_chunks as dc
+        return dc(_docs(sf_dir)).sort(["doc_id", "chunk_idx"])
+
     def sample_stratified(sf_dir: str):
         """Per-language rebalance: downsample the head language (en →
         5 %), keep half of every tail language — the classic corpus
@@ -634,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprints": doc_fingerprints,
         "pii_scan": pii_scan,
+        "doc_chunks": doc_chunks,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "term_frequencies": term_frequencies,
@@ -1401,6 +1411,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         "pii_scan": _PII_SQL,
+        # context-window chunking: list-slice windows over the same
+        # [a-z0-9]+ token stream, text rebuilt with array_to_string
+        "doc_chunks": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+            c AS (SELECT doc_id, ts, len(ts) AS n FROM tok
+                  WHERE len(ts) > 0),
+            k AS (SELECT doc_id, ts, n,
+                    unnest(generate_series(0,
+                      CASE WHEN n <= 64 THEN 0
+                           ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT)
+                      END)) AS chunk_idx
+                  FROM c)
+            SELECT doc_id, chunk_idx,
+                   least(chunk_idx*48 + 64, n) - chunk_idx*48
+                       AS n_tokens,
+                   array_to_string(
+                       ts[chunk_idx*48 + 1 :
+                          least(chunk_idx*48 + 64, n)], ' ')
+                       AS chunk_text
+            FROM k ORDER BY doc_id, chunk_idx""",
         # deterministic hash sampling: the SQL replays poly_hash64
         # over str(doc_id) in HUGEINT — same integer thresholds as
         # pipelines/sampling.py (GRANULARITY = 10000)
