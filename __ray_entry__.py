@@ -441,6 +441,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sampling.hash_sample(_docs_meta(sf_dir),
                                     0.10).sort("doc_id")
 
+    def decontaminate(sf_dir: str):
+        """Benchmark decontamination: docs with ``doc_id % 10 = 7``
+        play the eval/benchmark set; their distinct 8-token-gram
+        hashes are collected once (8 B/gram) and broadcast via
+        ``ray.put``; the corpus side streams through a stateless
+        membership scan — no shuffle, no join, corpus bytes cross the
+        wire once (pipelines/decontaminate.py)."""
+        import pyarrow as _pa
+        from orchid_fst_ray.pipelines import decontaminate as dc
+
+        def side(keep_bench: bool):
+            def fn(t: _pa.Table) -> _pa.Table:
+                import numpy as _np
+                ids = t["doc_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                is_bench = (ids % 10) == 7
+                return t.filter(_pa.array(
+                    is_bench if keep_bench else ~is_bench))
+            return fn
+
+        bench = _docs(sf_dir).map_batches(side(True),
+                                          batch_format="pyarrow")
+        corpus = _docs(sf_dir).map_batches(side(False),
+                                           batch_format="pyarrow")
+        grams = dc.benchmark_gram_hashes(bench, k=8)
+        return dc.scan_contamination(corpus, grams, k=8).sort("doc_id")
+
     def doc_chunks(sf_dir: str):
         """Context-window chunking: 64-token windows advancing by 48
         (16-token overlap) over every document's ``[a-z0-9]+`` token
@@ -643,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprints": doc_fingerprints,
         "pii_scan": pii_scan,
+        "decontaminate": decontaminate,
         "doc_chunks": doc_chunks,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
@@ -774,6 +802,49 @@ def _fingerprint_sql() -> str:
                           (a, b) -> {mix})::UBIGINT
               END AS fingerprint
             FROM mins ORDER BY doc_id"""
+
+
+def _decontam_sql(k: int = 8) -> str:
+    """Exact SQL replica of ``scan_contamination``
+    (pipelines/decontaminate.py): poly token hashes → k-gram
+    polynomial folds (init 0) → benchmark split (doc_id % 10 = 7) →
+    LEFT-JOIN membership counts per corpus document."""
+    from orchid_fst_ray.functions.text import _FNV_PRIME
+
+    m = _SQL_M
+    b = f"{int(_FNV_PRIME)}::HUGEINT"
+    return f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     list_transform(ts, t -> {_sql_poly_token("t")}) AS hs
+              FROM tok),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(hs) - {k - 1}),
+                       i -> list_reduce(
+                              list_prepend(0::HUGEINT,
+                                           hs[i:i+{k - 1}]),
+                              (g, h) -> (g * {b} + h) % {m}))) AS gh
+              FROM th WHERE len(hs) >= {k}),
+            bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 7),
+            agg AS (
+              SELECT c.doc_id, count(*)::BIGINT AS n_grams,
+                     count(b.gh)::BIGINT AS n_hits
+              FROM g c LEFT JOIN bench b USING (gh)
+              WHERE c.doc_id % 10 <> 7
+              GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(a.n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id % 10 <> 7) d
+            LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id"""
 
 
 def _minhash_sql(n_perm: int = 128, bands: int = 32, k: int = 3,
@@ -1410,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprints": _fingerprint_sql(),
+        "decontaminate": _decontam_sql(),
         "pii_scan": _PII_SQL,
         # context-window chunking: list-slice windows over the same
         # [a-z0-9]+ token stream, text rebuilt with array_to_string
