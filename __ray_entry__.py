@@ -431,6 +431,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "n_chars"])
 
+    def pack_sequences(sf_dir: str):
+        """GPT-style sequence packing (concat-and-chunk): map every
+        document into the global fixed-length training-sequence grid.
+        Runs as a two-pass distributed prefix scan — per-block token
+        sums (one tiny row per block) → driver cumsum over O(blocks)
+        → broadcast offsets → per-block vectorized assignment
+        (pipelines/chunking.py)."""
+        from orchid_fst_ray.pipelines.chunking import (
+            pack_sequences as ps)
+        return ps(_docs(sf_dir), seq_tokens=256).sort("doc_id")
+
     def sample_hash(sf_dir: str):
         """Deterministic 10 % corpus sample: stateless per-batch
         filter on ``poly_hash64(str(doc_id)) % 10000 < 1000`` — no
@@ -672,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": pii_scan,
         "decontaminate": decontaminate,
         "doc_chunks": doc_chunks,
+        "pack_sequences": pack_sequences,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "term_frequencies": term_frequencies,
@@ -1506,6 +1518,25 @@ def oracle_sql() -> dict[str, str]:
                           least(chunk_idx*48 + 64, n)], ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_idx""",
+        # sequence packing: the global prefix scan is one window SUM
+        "pack_sequences": """
+            WITH tok AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                         '[a-z0-9]+'))::BIGINT AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, n,
+                     coalesce(SUM(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)::BIGINT AS tok_start
+              FROM tok)
+            SELECT doc_id, n AS n_tokens, tok_start,
+                   (CASE WHEN n > 0 THEN tok_start // 256
+                         ELSE -1 END)::BIGINT AS seq_first,
+                   (CASE WHEN n > 0 THEN (tok_start + n - 1) // 256
+                         ELSE -1 END)::BIGINT AS seq_last
+            FROM s ORDER BY doc_id""",
         # deterministic hash sampling: the SQL replays poly_hash64
         # over str(doc_id) in HUGEINT — same integer thresholds as
         # pipelines/sampling.py (GRANULARITY = 10000)

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from orchid_fst_ray.pipelines.textstats import _explode_tokens
 
-__all__ = ["doc_chunks"]
+__all__ = ["doc_chunks", "pack_sequences"]
 
 
 def doc_chunks(ds, chunk_tokens: int = 64, stride: int = 48,
@@ -84,3 +84,76 @@ def doc_chunks(ds, chunk_tokens: int = 64, stride: int = 48,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(ds, seq_tokens: int = 256,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    concatenated in ``id_col`` order into one global token stream and
+    cut into fixed ``seq_tokens`` training sequences; each document is
+    mapped to its global token offset and the sequence range it lands
+    in. Output: ``(doc_id, n_tokens, tok_start, seq_first, seq_last)``
+    with ``seq_* = -1`` for token-less documents.
+
+    Distributed as a **two-pass prefix scan** — the global cumulative
+    sum never materializes row-level data on the driver:
+
+    1. sort by ``id_col`` (blocks then hold disjoint key ranges) and
+       materialize, so both passes see identical blocks;
+    2. pass 1: one tiny row per BLOCK ``(first doc_id, token sum)``
+       → driver cumsum over O(blocks) rows → broadcast the per-block
+       offset table via ``ray.put``;
+    3. pass 2: each block recomputes its in-block exclusive cumsum and
+       adds the offset matched by its first doc_id.
+
+    ``batch_size=None`` keeps batch == block in both passes (Ray's
+    sort never splits one block across batches here)."""
+    import ray
+
+    sorted_ds = ds.sort(id_col).materialize()
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        _flat, row, n = _explode_tokens(t[text_col])
+        if n == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        first = t[id_col].combine_chunks()[0].as_py()
+        return pa.table({"first_id": pa.array([first], pa.int64()),
+                         "n_tok": pa.array([int(len(row))], pa.int64())})
+
+    per_block = sorted_ds.map_batches(
+        block_sum, batch_size=None, batch_format="pyarrow").take_all()
+    per_block.sort(key=lambda r: r["first_id"])
+    firsts = np.array([r["first_id"] for r in per_block], np.int64)
+    sums = np.array([r["n_tok"] for r in per_block], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    ref = ray.put((firsts, offsets))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "seq_first": pa.array([], pa.int64()),
+                "seq_last": pa.array([], pa.int64())})
+        fs, offs = ray.get(ref)
+        base = int(offs[np.searchsorted(fs, ids[0])])
+        _flat, row, _n = _explode_tokens(t[text_col])
+        cnt = (np.bincount(row, minlength=n).astype(np.int64)
+               if len(row) else np.zeros(n, np.int64))
+        start = base + np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        seq_first = np.where(cnt > 0, start // seq_tokens, -1)
+        seq_last = np.where(cnt > 0, (start + cnt - 1) // seq_tokens, -1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(cnt, pa.int64()),
+            "tok_start": pa.array(start, pa.int64()),
+            "seq_first": pa.array(seq_first, pa.int64()),
+            "seq_last": pa.array(seq_last, pa.int64()),
+        })
+
+    return sorted_ds.map_batches(assign, batch_size=None,
+                                 batch_format="pyarrow")

@@ -83,3 +83,40 @@ def test_chunks_deterministic(ray_session):
     ).sort(["doc_id", "chunk_idx"]).to_pandas()
     assert np.array_equal(a["chunk_text"].to_numpy(),
                           b["chunk_text"].to_numpy())
+
+
+def test_pack_sequences_matches_brute(ray_session):
+    from orchid_fst_ray.pipelines.chunking import pack_sequences
+    texts = ["", "one two three", "...", " ".join(
+        f"w{i}" for i in range(300))] + [
+        " ".join(f"t{j}" for j in range(i % 37)) for i in range(60)]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(7)
+    out = pack_sequences(ds, seq_tokens=64).sort("doc_id").to_pandas()
+    # brute: global cumsum in doc_id order
+    counts = [len(re.findall(r"[a-z0-9]+", t.lower())) for t in texts]
+    start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    assert (out["n_tokens"].to_numpy() == counts).all()
+    assert (out["tok_start"].to_numpy() == start).all()
+    pos = (out["n_tokens"] > 0).to_numpy()
+    assert (out["seq_first"].to_numpy()[pos]
+            == start[pos] // 64).all()
+    assert (out["seq_last"].to_numpy()[pos]
+            == (start[pos] + np.array(counts)[pos] - 1) // 64).all()
+    assert (out["seq_first"].to_numpy()[~pos] == -1).all()
+
+
+def test_pack_sequences_partition_invariant(ray_session):
+    from orchid_fst_ray.pipelines.chunking import pack_sequences
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = pack_sequences(docs, seq_tokens=128).sort("doc_id").to_pandas()
+    b = pack_sequences(
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).repartition(13),
+        seq_tokens=128).sort("doc_id").to_pandas()
+    # the global scan must not depend on the block layout
+    for c in a.columns:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
