@@ -452,6 +452,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sampling.hash_sample(_docs_meta(sf_dir),
                                     0.10).sort("doc_id")
 
+    def salient_terms(sf_dir: str):
+        """Top-5 characteristic terms per document, ranked by the
+        fully-integer ordering (tf DESC, df ASC, term ASC) — the
+        lexicographic cousin of tf-idf, kept integer so the oracle
+        hash is exact. Document frequencies come from the combiner
+        pattern; the vocabulary-sized (term, df) table is broadcast
+        once via ray.put (pipelines/textstats.py)."""
+        return textstats.salient_terms(_docs(sf_dir)).sort(
+            ["doc_id", "rank"])
+
     def decontaminate(sf_dir: str):
         """Benchmark decontamination: docs with ``doc_id % 10 = 7``
         play the eval/benchmark set; their distinct 8-token-gram
@@ -681,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprints": doc_fingerprints,
         "pii_scan": pii_scan,
+        "salient_terms": salient_terms,
         "decontaminate": decontaminate,
         "doc_chunks": doc_chunks,
         "pack_sequences": pack_sequences,
@@ -1518,6 +1529,24 @@ def oracle_sql() -> dict[str, str]:
                           least(chunk_idx*48 + 64, n)], ' ')
                        AS chunk_text
             FROM k ORDER BY doc_id, chunk_idx""",
+        # characteristic terms: integer (tf DESC, df ASC, term ASC)
+        # ranking — row_number window over a tf x df join
+        "salient_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM tok GROUP BY 1),
+            r AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                         row_number() OVER (PARTITION BY t.doc_id
+                             ORDER BY t.tf DESC, d.df ASC,
+                                      t.term ASC)::BIGINT AS rank
+                  FROM tf t JOIN df d USING (term))
+            SELECT doc_id, rank, term, tf, df FROM r
+            WHERE rank <= 5 ORDER BY doc_id, rank""",
         # sequence packing: the global prefix scan is one window SUM
         "pack_sequences": """
             WITH tok AS (

@@ -762,3 +762,43 @@ def test_curated_minhash_sql_oracle_matches_engine(ray_session):
     con.close()
     assert mine == oracle["doc_id"].astype(int).tolist()
     assert 0 < len(mine) <= docs.count()
+
+
+def test_salient_terms_brute(ray_session):
+    """salient_terms vs a brute-force pandas rank on a fixture with
+    known tf/df structure."""
+    import re as _re
+    from collections import Counter
+
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from orchid_fst_ray.pipelines.textstats import salient_terms
+
+    texts = [
+        "alpha alpha alpha shared shared rare1",
+        "beta beta shared rare2 rare2 rare2 rare2",
+        "shared shared shared gamma",
+        "alpha beta gamma shared unique9",
+        "",
+    ]
+    ids = list(range(len(texts)))
+    ds = _rd.from_arrow(_pa.table({
+        "doc_id": _pa.array(ids, _pa.int64()), "text": texts}))
+    got = salient_terms(ds, top_k=3).sort(
+        ["doc_id", "rank"]).to_pandas()
+
+    toks = {i: _re.findall(r"[a-z0-9]+", t.lower())
+            for i, t in zip(ids, texts)}
+    df = Counter()
+    for i in ids:
+        for term in set(toks[i]):
+            df[term] += 1
+    want = []
+    for i in ids:
+        tf = Counter(toks[i])
+        ranked = sorted(tf, key=lambda w: (-tf[w], df[w], w))[:3]
+        for r, w in enumerate(ranked, 1):
+            want.append((i, r, w, tf[w], df[w]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
