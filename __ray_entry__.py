@@ -601,6 +601,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = run_er(pages, num_partitions=8, scorer_concurrency=(1, 4))
         return res["assignment"].sort("url")
 
+    def priority_flag_summary(sf_dir: str):
+        """Large×large equi-join through the general
+        ``relational.merge_join`` operator (tag → null-pad → union →
+        ONE co-locating sort → in-block Arrow hash joins), then an
+        order-free grouped summary (Count/Min/Max only — float Sum
+        would break the value hash)."""
+        import ray.data as rd
+        from ray.data.aggregate import Count, Max, Min
+        from orchid_fst_ray.pipelines.relational import merge_join
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"])
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_quantity"]
+        ).rename_columns({"l_orderkey": "o_orderkey"})
+        joined = merge_join(orders, li, on="o_orderkey")
+        return (joined.groupby(["o_orderpriority", "l_returnflag"])
+                .aggregate(Count(alias_name="n_items"),
+                           Min("l_quantity", alias_name="min_qty"),
+                           Max("l_quantity", alias_name="max_qty"))
+                .sort(["o_orderpriority", "l_returnflag"]))
+
     def multimodal_image_features(sf_dir: str):
         from orchid_fst_ray.stages.multimodal import (
             image_feature_pipeline, synth_image_table)
@@ -700,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": term_frequencies,
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
+        "priority_flag_summary": priority_flag_summary,
         "curated_docs": curated_docs,
         "curated_docs_ngram": curated_docs_ngram,
         "er_core_clusters": er_core_clusters,
@@ -1602,6 +1626,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name""",
+        "priority_flag_summary": """
+            SELECT o_orderpriority, l_returnflag,
+                   count(*)::BIGINT AS n_items,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority, l_returnflag
+            ORDER BY o_orderpriority, l_returnflag""",
         "events_topk": """
             WITH r AS (
               SELECT user_id, event_id, value,

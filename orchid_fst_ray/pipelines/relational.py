@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["broadcast_join", "customers_per_region"]
+__all__ = ["broadcast_join", "merge_join", "customers_per_region"]
 
 
 def broadcast_join(big_ds, small_table: pa.Table, keys,
@@ -86,3 +86,69 @@ def customers_per_region(sf_dir: str):
         "n_customers": t["n_customers"].cast(pa.int64()),
         "total_acctbal_cents": t["total_acctbal_cents"].cast(pa.int64()),
     }), batch_format="pyarrow").sort("r_name")
+
+
+def merge_join(left_ds, right_ds, on, join_type: str = "inner"):
+    """Distributed equi-join for TWO LARGE sides (when neither fits a
+    :func:`broadcast_join`): tag each side, null-pad to one unified
+    schema, union, co-locating ``sort`` on the key, then one in-block
+    Arrow hash join per sorted block.
+
+    Correctness rests on the engine's verified sort invariant: Ray's
+    range-partitioned sort never splits rows of one key value across
+    blocks, so after the union-sort every key's left AND right rows
+    co-reside in one block and the block-local join is complete — for
+    inner and all outer types (a key's non-matching side is absent
+    from every OTHER block too). ONE all-to-all exchange total,
+    versus two for a classic partitioned hash join.
+
+    Requirements: the key column(s) share names and types on both
+    sides (rename upstream via ``Dataset.rename_columns``); non-key
+    column names must be disjoint."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    on = [on] if isinstance(on, str) else list(on)
+    ls, rs = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    for k in on:
+        if k not in ltypes or k not in rtypes:
+            raise ValueError(f"join key {k!r} missing on one side")
+        if ltypes[k] != rtypes[k]:
+            raise ValueError(f"join key {k!r} type mismatch: "
+                             f"{ltypes[k]} vs {rtypes[k]}")
+    lcols = [c for c in ls.names if c not in on]
+    rcols = [c for c in rs.names if c not in on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns collide: {sorted(overlap)} "
+                         "(rename upstream)")
+    types = {**ltypes, **rtypes}
+    ordered = on + lcols + rcols
+
+    def pad(side: int):
+        own = set(on + (lcols if side == 0 else rcols))
+
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: (t[c] if c in own
+                        else pa.nulls(t.num_rows, types[c]))
+                    for c in ordered}
+            cols["__side"] = pa.array(
+                np.full(t.num_rows, side, np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    u = (left_ds.map_batches(pad(0), batch_format="pyarrow")
+         .union(right_ds.map_batches(pad(1), batch_format="pyarrow"))
+         .sort(on))
+
+    def merge(t: pa.Table) -> pa.Table:
+        is_left = pc.equal(t["__side"], 0)
+        lt = t.filter(is_left).select(on + lcols)
+        rt = t.filter(pc.invert(is_left)).select(on + rcols)
+        return lt.join(rt, keys=on, join_type=join_type)
+
+    return u.map_batches(merge, batch_size=None,
+                         batch_format="pyarrow")

@@ -802,3 +802,44 @@ def test_salient_terms_brute(ray_session):
         for r, w in enumerate(ranked, 1):
             want.append((i, r, w, tf[w], df[w]))
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_merge_join_vs_arrow(ray_session):
+    """merge_join (tag → union → one sort → in-block joins) must equal
+    a single-table Arrow join, across partition layouts and join
+    types, with one-sided keys present."""
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    import pytest as _pytest
+
+    from orchid_fst_ray.pipelines.relational import merge_join
+
+    rng = _np.random.RandomState(11)
+    lk = rng.randint(0, 50, 400)                   # dup keys, some absent
+    rk = rng.randint(25, 75, 300)                  # half-overlapping range
+    left = _pa.table({"k": _pa.array(lk, _pa.int64()),
+                      "lv": _pa.array(rng.randint(0, 9, 400),
+                                      _pa.int64())})
+    right = _pa.table({"k": _pa.array(rk, _pa.int64()),
+                       "rv": _pa.array(rng.randint(0, 9, 300),
+                                       _pa.int64())})
+
+    def canon(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for jt in ("inner", "left outer", "right outer", "full outer"):
+        got = merge_join(_rd.from_arrow(left).repartition(5),
+                         _rd.from_arrow(right).repartition(3),
+                         on="k", join_type=jt).to_pandas()
+        want = left.join(right, keys="k", join_type=jt).to_pandas()
+        assert canon(got).equals(canon(want)), jt
+
+    with _pytest.raises(ValueError, match="collide"):
+        merge_join(_rd.from_arrow(left),
+                   _rd.from_arrow(left), on="k")
+    bad = _pa.table({"k": _pa.array(rk.astype("int32")),
+                     "rv2": _pa.array(rk, _pa.int64())})
+    with _pytest.raises(ValueError, match="type mismatch"):
+        merge_join(_rd.from_arrow(left), _rd.from_arrow(bad), on="k")
