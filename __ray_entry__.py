@@ -512,6 +512,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         counts (the combiner pattern) + one small global aggregate."""
         return textstats.term_frequencies(_docs(sf_dir), top_n=50)
 
+    def approx_distinct_tokens(sf_dir: str):
+        """HyperLogLog distinct-token sketch — exposed as its REGISTER
+        TABLE so the oracle replays it exactly (poly_hash64 →
+        hash64_pairs avalanche → register/rank → distributed max)."""
+        from orchid_fst_ray.pipelines.analytics import (
+            hll_token_registers)
+        return hll_token_registers(_docs(sf_dir), p=10)
+
+    def approx_distinct_shingles(sf_dir: str):
+        """HLL sketch of distinct 3-token shingles — sizes the minhash
+        dedup's bucket tables; shares that pipeline's exact shingle
+        hash space (shingle_hashes_flat), register-table contract."""
+        from orchid_fst_ray.pipelines.analytics import (
+            hll_shingle_registers)
+        return hll_shingle_registers(_docs(sf_dir), p=10, k=3)
+
+    def doc_length_quantiles(sf_dir: str):
+        """EXACT per-language nearest-rank quantiles of n_chars via
+        the value-count combiner (rational ranks — no float ceil)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.analytics import grouped_quantiles
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+        return grouped_quantiles(docs, "lang", "n_chars")
+
+    def inverted_index(sf_dir: str):
+        """Posting-list build: (term, df, first-64 doc ids) for every
+        term with df ≥ 2 — per-block distinct pairs, one single-key
+        sort, block-local fold under the pinned sort invariant."""
+        from orchid_fst_ray.pipelines import analytics
+        return analytics.inverted_index(_docs(sf_dir), min_df=2,
+                                        max_postings=64)
+
     def customers_per_region(sf_dir: str):
         """Fact ⋈ dim ⋈ dim rollup with BROADCAST joins (no shuffle of
         the big side) — customer x nation x region."""
@@ -721,6 +754,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "term_frequencies": term_frequencies,
+        "approx_distinct_tokens": approx_distinct_tokens,
+        "approx_distinct_shingles": approx_distinct_shingles,
+        "doc_length_quantiles": doc_length_quantiles,
+        "inverted_index": inverted_index,
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
         "priority_flag_summary": priority_flag_summary,
@@ -800,6 +837,84 @@ def _sql_poly_token(var: str = "t") -> str:
             f"list_transform(generate_series(1, length({var})), "
             f"i -> ascii({var}[i])::HUGEINT)), "
             f"(h, c) -> (h * {b} + c) % {m})")
+
+
+def _hll_registers_sql(p: int = 10) -> str:
+    """Exact SQL replica of ``hll_token_registers``
+    (pipelines/analytics.py): distinct tokens → poly_hash64 →
+    hash64_pairs self-mix (the avalanche finalizer) → top-``p``-bit
+    register / leftmost-1-bit rank over the low ``64-p`` bits →
+    per-register MAX. ``length(bin(w))`` is the integer bit length —
+    no float log2."""
+    n_low = 64 - p
+    mix = _sql_mix("th", "th")
+    return f"""
+            WITH tok AS (
+              SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS t
+              FROM documents),
+            h AS (SELECT {_sql_poly_token("t")} AS th FROM tok),
+            hm AS (SELECT {mix} AS hv FROM h),
+            rw AS (SELECT hv // {1 << n_low}::HUGEINT AS register,
+                          hv % {1 << n_low}::HUGEINT AS w FROM hm),
+            rk AS (SELECT register,
+                          CASE WHEN w = 0 THEN {n_low + 1}
+                               ELSE {n_low} - length(bin(w::UBIGINT)) + 1
+                          END AS rank
+                   FROM rw)
+            SELECT register::BIGINT AS register,
+                   MAX(rank)::BIGINT AS max_rank
+            FROM rk GROUP BY register ORDER BY register"""
+
+
+def _hll_shingles_sql(p: int = 10, k: int = 3) -> str:
+    """Exact SQL replica of ``hll_shingle_registers``
+    (pipelines/analytics.py): the minhash shingler's hash chain
+    (WORD_RE tokens → poly_hash64 → hash64_pairs window folds,
+    short-doc whole-text rule) → self-mix avalanche → register/rank →
+    per-register MAX. The tok/shingle CTEs mirror _minhash_pair_ctes
+    so both oracles pin the SAME shingle hash space."""
+    from orchid_fst_ray.pipelines.dedup import _WS_RE2
+    n_low = 64 - p
+    pat = rf"[a-z0-9]+|[^{_WS_RE2}a-z0-9]"
+    mix = _sql_mix("a", "b")
+    self_mix = _sql_mix("s", "s")
+    return f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{pat}') AS ts
+              FROM documents),
+            tokr AS (
+              SELECT doc_id, unnest(ts) AS t,
+                     generate_subscripts(ts, 1) AS pos
+              FROM tok),
+            dhash AS (
+              SELECT t, {_sql_poly_token("t")} AS th
+              FROM (SELECT DISTINCT t FROM tokr)),
+            tokh AS (
+              SELECT r.doc_id, list(d.th ORDER BY r.pos) AS hs
+              FROM tokr r JOIN dhash d USING (t)
+              GROUP BY r.doc_id),
+            shl AS (
+              SELECT doc_id, CASE
+                WHEN len(hs) = 0 THEN []::HUGEINT[]
+                WHEN len(hs) < {k} THEN
+                  [list_reduce(hs, (a, b) -> {mix})]
+                ELSE list_transform(generate_series(1, len(hs) - {k - 1}),
+                  i -> list_reduce(hs[i : i + {k - 1}], (a, b) -> {mix}))
+              END AS sh FROM tokh),
+            shd AS (SELECT DISTINCT unnest(sh) AS s FROM shl),
+            hm AS (SELECT {self_mix} AS hv FROM shd),
+            rw AS (SELECT hv // {1 << n_low}::HUGEINT AS register,
+                          hv % {1 << n_low}::HUGEINT AS w FROM hm),
+            rk AS (SELECT register,
+                          CASE WHEN w = 0 THEN {n_low + 1}
+                               ELSE {n_low} - length(bin(w::UBIGINT)) + 1
+                          END AS rank
+                   FROM rw)
+            SELECT register::BIGINT AS register,
+                   MAX(rank)::BIGINT AS max_rank
+            FROM rk GROUP BY register ORDER BY register"""
 
 
 def _fingerprint_sql() -> str:
@@ -1617,6 +1732,42 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT token, count(*)::BIGINT AS n FROM toks
             GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "approx_distinct_tokens": _hll_registers_sql(p=10),
+        "approx_distinct_shingles": _hll_shingles_sql(p=10, k=3),
+        "doc_length_quantiles": """
+            WITH qd(q, num, den) AS (VALUES
+                ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+                ('p90', 9, 10), ('p99', 99, 100)),
+            r AS (
+              SELECT lang, n_chars::BIGINT AS v,
+                     row_number() OVER (
+                         PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            -- nearest-rank via INTEGER ceil (num*n + den - 1) // den:
+            -- float ceil(0.9*n) misrounds when q*n is integral
+            SELECT r.lang, qd.q, r.v AS value
+            FROM r JOIN qd
+              ON r.rn = (qd.num * r.n + qd.den - 1) // qd.den
+            ORDER BY lang, q""",
+        "inverted_index": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS term
+              FROM documents),
+            rk AS (
+              SELECT term, doc_id,
+                     row_number() OVER (
+                         PARTITION BY term ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY term) AS df
+              FROM tok)
+            SELECT term, MAX(df)::BIGINT AS df,
+                   string_agg(CASE WHEN rn <= 64
+                                   THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM rk GROUP BY term HAVING MAX(df) >= 2
+            ORDER BY term""",
         "customers_per_region": """
             SELECT r_name,
                    count(*)::BIGINT AS n_customers,
