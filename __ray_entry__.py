@@ -545,6 +545,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.inverted_index(_docs(sf_dir), min_df=2,
                                         max_postings=64)
 
+    def bloom_semijoin_urgent(sf_dir: str):
+        """Exact semi-join via broadcast BLOOM prefilter + survivor
+        merge-join verify: lineitem ⋉ urgent orders → per-returnflag
+        rollup (integer quantity units)."""
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+        from orchid_fst_ray.pipelines.relational import bloom_semijoin
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_quantity"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "l_returnflag": t["l_returnflag"].cast(pa.string()),
+                "qty_units": pc.cast(pc.floor(pc.cast(
+                    t["l_quantity"], pa.float64())), pa.int64()),
+            })
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"])
+
+        def urgent(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+            return pa.table({"l_orderkey":
+                             t.filter(keep)["o_orderkey"].cast(
+                                 pa.int64())})
+
+        out = bloom_semijoin(
+            li.map_batches(prep, batch_format="pyarrow"),
+            orders.map_batches(urgent, batch_format="pyarrow"),
+            key="l_orderkey", n_bits=1 << 16)
+        agg = (out.groupby("l_returnflag")
+               .aggregate(Count(alias_name="n_items"),
+                          Sum("qty_units",
+                              alias_name="sum_qty_units")))
+        return agg.map_batches(lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"].cast(pa.string()),
+            "n_items": t["n_items"].cast(pa.int64()),
+            "sum_qty_units": t["sum_qty_units"].cast(pa.int64()),
+        }), batch_format="pyarrow").sort("l_returnflag")
+
+    def graph_pagerank(sf_dir: str):
+        """Fixed-point INTEGER PageRank (3 damped rounds) over the
+        symmetrized user↔event-type bipartite graph from events —
+        integer sums make the distributed result bit-identical to the
+        unrolled SQL replay regardless of partial-sum order."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from ray.data.aggregate import Count
+        from orchid_fst_ray.pipelines.graphs import pagerank_int
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+
+        def to_edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+            n = t.num_rows
+            u = pc.binary_join_element_wise(
+                pa.array(np.full(n, "u")),
+                pc.cast(t["user_id"].combine_chunks(), pa.string()),
+                "")
+            v = pc.binary_join_element_wise(
+                pa.array(np.full(n, "t")),
+                pc.cast(t["event_type"].combine_chunks(), pa.string()),
+                "")
+            return pa.table({"src": pa.concat_arrays([u, v]),
+                             "dst": pa.concat_arrays([v, u])})
+
+        edges = (ev.map_batches(to_edges, batch_format="pyarrow")
+                 .groupby(["src", "dst"])
+                 .aggregate(Count(alias_name="__n"))
+                 .drop_columns(["__n"]))
+        return pagerank_int(edges, iters=3)
+
     def customers_per_region(sf_dir: str):
         """Fact ⋈ dim ⋈ dim rollup with BROADCAST joins (no shuffle of
         the big side) — customer x nation x region."""
@@ -758,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_shingles": approx_distinct_shingles,
         "doc_length_quantiles": doc_length_quantiles,
         "inverted_index": inverted_index,
+        "bloom_semijoin_urgent": bloom_semijoin_urgent,
+        "graph_pagerank": graph_pagerank,
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
         "priority_flag_summary": priority_flag_summary,
@@ -915,6 +996,44 @@ def _hll_shingles_sql(p: int = 10, k: int = 3) -> str:
             SELECT register::BIGINT AS register,
                    MAX(rank)::BIGINT AS max_rank
             FROM rk GROUP BY register ORDER BY register"""
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 1_000_000,
+                  damping_pct: int = 85) -> str:
+    """Exact SQL replica of ``graph_pagerank`` (pipelines/graphs.py
+    over the symmetrized user↔event-type graph): damped power
+    iteration UNROLLED as one CTE pair per round, all fixed-point
+    integer (``//`` floor division) so the replay is bit-identical to
+    the distributed integer sums."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [f"""e0 AS (
+              SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                              't' || event_type AS dst
+              FROM events),
+            edges AS (
+              SELECT src, dst FROM e0
+              UNION
+              SELECT dst AS src, src AS dst FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            odeg AS (SELECT src, count(*)::BIGINT AS odeg
+                     FROM edges GROUP BY src),
+            r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+              SELECT e.dst AS node,
+                     sum((r.rank * {damping_pct})
+                         // (100 * o.odeg))::BIGINT AS s
+              FROM edges e
+              JOIN r{i - 1} r ON e.src = r.node
+              JOIN odeg o ON e.src = o.src
+              GROUP BY e.dst),
+            r{i} AS (
+              SELECT n.node,
+                     ({base} + coalesce(c.s, 0))::BIGINT AS rank
+              FROM nodes n LEFT JOIN c{i} c USING (node))""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"            SELECT node, rank FROM r{iters} "
+            f"ORDER BY node")
 
 
 def _fingerprint_sql() -> str:
@@ -1768,6 +1887,15 @@ def oracle_sql() -> dict[str, str]:
                               ',' ORDER BY doc_id) AS postings
             FROM rk GROUP BY term HAVING MAX(df) >= 2
             ORDER BY term""",
+        "bloom_semijoin_urgent": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_items,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty_units
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "graph_pagerank": _pagerank_sql(iters=3),
         "customers_per_region": """
             SELECT r_name,
                    count(*)::BIGINT AS n_customers,

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["broadcast_join", "merge_join", "customers_per_region"]
+__all__ = ["broadcast_join", "merge_join", "bloom_semijoin",
+           "customers_per_region"]
 
 
 def broadcast_join(big_ds, small_table: pa.Table, keys,
@@ -86,6 +87,101 @@ def customers_per_region(sf_dir: str):
         "n_customers": t["n_customers"].cast(pa.int64()),
         "total_acctbal_cents": t["total_acctbal_cents"].cast(pa.int64()),
     }), batch_format="pyarrow").sort("r_name")
+
+
+def bloom_semijoin(probe_ds, keys_ds, key: str, n_bits: int = 1 << 20,
+                   n_hashes: int = 4, keys_unique: bool = True):
+    """EXACT distributed semi-join ``probe_ds ⋉ keys_ds`` for a key
+    side too large to broadcast as a set: a Bloom filter of the keys
+    (fixed ``n_bits`` regardless of key count) is broadcast once and
+    prunes the probe stream inside ``map_batches``; the survivors —
+    typically a small fraction of the probe side — then take the ONE
+    co-locating :func:`merge_join` exchange for exact verification.
+    Bloom filters have no false negatives, so the result is exact;
+    false positives only cost verify traffic (rate ≈ 0.39**n_hashes
+    at the canonical ``n_bits ≈ 1.44 · n_hashes · n_keys`` sizing).
+
+    The 100 TB shape this buys: a naive semi-join shuffles the WHOLE
+    probe side; broadcasting the key set needs O(n_keys) memory per
+    worker. The bloom is O(n_bits) per worker — chosen, not data-
+    dependent — and the shuffle shrinks to the survivor stream.
+
+    Build cost: each key block folds to one ``n_bits``-wide partial
+    filter OR-ed on the driver — O(num_blocks · n_bits/8) driver
+    bytes, bounded by the fixed filter size, not by key count.
+
+    ``keys_unique=False`` dedups the key side first (an inner join
+    against duplicate keys would multiply probe rows)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from orchid_fst_ray.functions.hashing import (hash64_pairs,
+                                                  poly_hash64)
+
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+    mask = np.uint64(n_bits - 1)
+    seeds = np.arange(1, n_hashes + 1).astype(np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15)
+
+    def _key_hashes(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        if pa.types.is_integer(arr.type):
+            return arr.cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+        return poly_hash64(arr)
+
+    words = n_bits // 64
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(words, np.uint64)
+        if t.num_rows:
+            h = _key_hashes(t[key])
+            for s in seeds:
+                idx = hash64_pairs(h, np.full(len(h), s)) & mask
+                np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(
+                    np.int64), np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bits.tobytes()],
+                                           pa.large_binary())})
+
+    parts = keys_ds.select_columns([key]).map_batches(
+        build_partial, batch_format="pyarrow").take_all()
+    bloom = np.zeros(words, np.uint64)
+    for r in parts:
+        bloom |= np.frombuffer(r["bloom"], np.uint64)
+    ref = ray.put(bloom)
+
+    class Probe:
+        def __init__(self) -> None:
+            self.bits = ray.get(ref)            # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            h = _key_hashes(t[key])
+            hit = np.ones(len(h), bool)
+            for s in seeds:
+                idx = hash64_pairs(h, np.full(len(h), s)) & mask
+                word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+                hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) > 0
+            return t.filter(pa.array(hit))
+
+    survivors = probe_ds.map_batches(Probe, batch_format="pyarrow",
+                                     concurrency=(1, 8), num_cpus=1)
+
+    keys_only = keys_ds.select_columns([key])
+    if not keys_unique:
+        def first(t: pa.Table) -> pa.Table:
+            arr = t[key].combine_chunks()
+            return pa.table({key: pc.unique(arr)})
+        # block-local unique → one groupby-count collapses the rest
+        from ray.data.aggregate import Count
+        keys_only = (keys_only.map_batches(first, batch_format="pyarrow")
+                     .groupby(key).aggregate(Count(alias_name="__n"))
+                     .drop_columns(["__n"]))
+    return merge_join(survivors, keys_only, on=key)
 
 
 def merge_join(left_ds, right_ds, on, join_type: str = "inner"):

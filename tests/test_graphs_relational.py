@@ -1,0 +1,98 @@
+"""Tests for pagerank_int (pipelines/graphs.py) and bloom_semijoin
+(pipelines/relational.py).
+
+Pagerank parity model: a tiny numpy replay of the exact fixed-point
+recurrence; both the gated broadcast branch and the forced exchange
+branch (broadcast_max_bytes=0) must match it node-for-node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+    src, dst = zip(*pairs)
+    return rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.string()),
+        "dst": pa.array(dst, pa.string())}))
+
+
+def _pagerank_numpy(pairs, iters=3, scale=1_000_000, damping=85):
+    nodes = sorted({n for e in pairs for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    odeg = np.zeros(len(nodes), np.int64)
+    for s, _ in pairs:
+        odeg[idx[s]] += 1
+    rank = np.full(len(nodes), scale, np.int64)
+    base = (100 - damping) * scale // 100
+    for _ in range(iters):
+        nxt = np.full(len(nodes), base, np.int64)
+        for s, d in pairs:
+            nxt[idx[d]] += (rank[idx[s]] * damping) // (100 * odeg[idx[s]])
+        rank = nxt
+    return dict(zip(nodes, rank.tolist()))
+
+
+PAIRS = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+         ("a", "c"), ("c", "b"), ("d", "a"), ("a", "d")]
+
+
+@pytest.mark.parametrize("gate", [256 << 20, 0],
+                         ids=["broadcast", "exchange"])
+def test_pagerank_matches_numpy(ray_session, gate):
+    from orchid_fst_ray.pipelines.graphs import pagerank_int
+    got = pagerank_int(_edges_ds(PAIRS), iters=3,
+                       broadcast_max_bytes=gate).to_pandas()
+    want = _pagerank_numpy(PAIRS)
+    assert dict(zip(got["node"], got["rank"])) == want
+    assert list(got["node"]) == sorted(want)  # sorted output contract
+
+
+def test_pagerank_sink_node(ray_session):
+    # 'z' has no out-edges: contributes nothing, still receives base
+    pairs = [("a", "z"), ("b", "z"), ("a", "b"), ("b", "a")]
+    from orchid_fst_ray.pipelines.graphs import pagerank_int
+    got = pagerank_int(_edges_ds(pairs), iters=2).to_pandas()
+    want = _pagerank_numpy(pairs, iters=2)
+    assert dict(zip(got["node"], got["rank"])) == want
+
+
+def _ds(table):
+    import ray.data as rd
+    return rd.from_arrow(table)
+
+
+def test_bloom_semijoin_exact_with_forced_false_positives(ray_session):
+    """n_bits=64 at 40 keys saturates the filter — false positives are
+    guaranteed; the merge-join verify must still yield the exact
+    semi-join."""
+    from orchid_fst_ray.pipelines.relational import bloom_semijoin
+    probe = pa.table({
+        "k": pa.array(list(range(200)), pa.int64()),
+        "v": pa.array([f"p{i}" for i in range(200)])})
+    keys = pa.table({"k": pa.array(list(range(0, 200, 5)), pa.int64())})
+    out = bloom_semijoin(_ds(probe), _ds(keys), key="k",
+                         n_bits=64, n_hashes=2).to_pandas()
+    assert sorted(out["k"]) == list(range(0, 200, 5))
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_bloom_semijoin_string_keys_and_dup_keyside(ray_session):
+    from orchid_fst_ray.pipelines.relational import bloom_semijoin
+    probe = pa.table({"k": pa.array(["a", "b", "c", "d", "e"]),
+                      "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    keys = pa.table({"k": pa.array(["b", "d", "b", "d", "zz"])})
+    out = bloom_semijoin(_ds(probe), _ds(keys), key="k",
+                         keys_unique=False).to_pandas()
+    # dup keys must NOT multiply probe rows
+    assert sorted(zip(out["k"], out["v"])) == [("b", 2), ("d", 4)]
+
+
+def test_bloom_semijoin_rejects_bad_nbits(ray_session):
+    from orchid_fst_ray.pipelines.relational import bloom_semijoin
+    with pytest.raises(ValueError):
+        bloom_semijoin(None, None, key="k", n_bits=100)
