@@ -591,6 +591,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_qty_units": t["sum_qty_units"].cast(pa.int64()),
         }), batch_format="pyarrow").sort("l_returnflag")
 
+    def bloom_antijoin_nonurgent(sf_dir: str):
+        """Exact ANTI-join via the same broadcast Bloom: lineitem rows
+        whose order is NOT urgent — misses stream through shuffle-free,
+        only Bloom hits take the left-anti merge-join verify. Same
+        rollup shape as the semi-join so the two results partition
+        lineitem."""
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+        from orchid_fst_ray.pipelines.relational import bloom_antijoin
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_quantity"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "l_returnflag": t["l_returnflag"].cast(pa.string()),
+                "qty_units": pc.cast(pc.floor(pc.cast(
+                    t["l_quantity"], pa.float64())), pa.int64()),
+            })
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"])
+
+        def urgent(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+            return pa.table({"l_orderkey":
+                             t.filter(keep)["o_orderkey"].cast(
+                                 pa.int64())})
+
+        out = bloom_antijoin(
+            li.map_batches(prep, batch_format="pyarrow"),
+            orders.map_batches(urgent, batch_format="pyarrow"),
+            key="l_orderkey", n_bits=1 << 16)
+        agg = (out.groupby("l_returnflag")
+               .aggregate(Count(alias_name="n_items"),
+                          Sum("qty_units",
+                              alias_name="sum_qty_units")))
+        return agg.map_batches(lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"].cast(pa.string()),
+            "n_items": t["n_items"].cast(pa.int64()),
+            "sum_qty_units": t["sum_qty_units"].cast(pa.int64()),
+        }), batch_format="pyarrow").sort("l_returnflag")
+
     def graph_pagerank(sf_dir: str):
         """Fixed-point INTEGER PageRank (3 damped rounds) over the
         symmetrized user↔event-type bipartite graph from events —
@@ -838,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": doc_length_quantiles,
         "inverted_index": inverted_index,
         "bloom_semijoin_urgent": bloom_semijoin_urgent,
+        "bloom_antijoin_nonurgent": bloom_antijoin_nonurgent,
         "graph_pagerank": graph_pagerank,
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
@@ -1894,6 +1943,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "bloom_antijoin_nonurgent": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_items,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty_units
+            FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
         "graph_pagerank": _pagerank_sql(iters=3),
         "customers_per_region": """

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 __all__ = ["broadcast_join", "merge_join", "bloom_semijoin",
-           "customers_per_region"]
+           "bloom_antijoin", "customers_per_region"]
 
 
 def broadcast_join(big_ds, small_table: pa.Table, keys,
@@ -112,6 +112,37 @@ def bloom_semijoin(probe_ds, keys_ds, key: str, n_bits: int = 1 << 20,
 
     ``keys_unique=False`` dedups the key side first (an inner join
     against duplicate keys would multiply probe rows)."""
+    hits, _misses, keys_only = _bloom_split(
+        probe_ds, keys_ds, key, n_bits, n_hashes, keys_unique)
+    return merge_join(hits, keys_only, on=key)
+
+
+def bloom_antijoin(probe_ds, keys_ds, key: str, n_bits: int = 1 << 20,
+                   n_hashes: int = 4):
+    """EXACT distributed anti-join ``probe_ds ▷ keys_ds`` (rows of the
+    probe side whose key does NOT appear in the key side) — the
+    complement of :func:`bloom_semijoin`, with the asymmetry flipped
+    in its favor: a Bloom MISS is definitive (no false negatives), so
+    most probe rows are emitted straight from the streaming prefilter
+    with zero shuffle; only the Bloom HITS — true matches plus the
+    small false-positive stream — take the one co-locating
+    ``left anti`` :func:`merge_join` exchange to decide which hits
+    were spurious. Exchange volume ≈ |true matches| + fp·|probe|."""
+    hits, misses, keys_only = _bloom_split(
+        probe_ds, keys_ds, key, n_bits, n_hashes, keys_unique=True)
+    rescued = merge_join(hits, keys_only, on=key,
+                         join_type="left anti")
+    return misses.union(rescued)
+
+
+def _bloom_split(probe_ds, keys_ds, key: str, n_bits: int,
+                 n_hashes: int, keys_unique: bool):
+    """Shared Bloom machinery: build the filter over ``keys_ds[key]``
+    (per-block partials OR-ed on the driver — O(n_bits) bytes, never
+    key-count-dependent), broadcast it once via ``ray.put``, and
+    return (hit rows, miss rows, the key-only Dataset for downstream
+    verification) — hits/misses are lazy streams sharing the one
+    broadcast filter."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
@@ -154,8 +185,9 @@ def bloom_semijoin(probe_ds, keys_ds, key: str, n_bits: int = 1 << 20,
     ref = ray.put(bloom)
 
     class Probe:
-        def __init__(self) -> None:
+        def __init__(self, want_hits: bool) -> None:
             self.bits = ray.get(ref)            # once per actor
+            self.want_hits = want_hits
 
         def __call__(self, t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -166,22 +198,34 @@ def bloom_semijoin(probe_ds, keys_ds, key: str, n_bits: int = 1 << 20,
                 idx = hash64_pairs(h, np.full(len(h), s)) & mask
                 word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
                 hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) > 0
-            return t.filter(pa.array(hit))
+            return t.filter(pa.array(hit if self.want_hits else ~hit))
 
-    survivors = probe_ds.map_batches(Probe, batch_format="pyarrow",
-                                     concurrency=(1, 8), num_cpus=1)
+    hits = probe_ds.map_batches(Probe, fn_constructor_args=(True,),
+                                batch_format="pyarrow",
+                                concurrency=(1, 8), num_cpus=1)
+    misses = probe_ds.map_batches(Probe, fn_constructor_args=(False,),
+                                  batch_format="pyarrow",
+                                  concurrency=(1, 8), num_cpus=1)
 
     keys_only = keys_ds.select_columns([key])
     if not keys_unique:
         def first(t: pa.Table) -> pa.Table:
             arr = t[key].combine_chunks()
             return pa.table({key: pc.unique(arr)})
-        # block-local unique → one groupby-count collapses the rest
+        # block-local unique → one groupby-count collapses the rest;
+        # re-pin the key type (Ray's groupby may widen string →
+        # large_string, which would trip merge_join's type check)
         from ray.data.aggregate import Count
+        ktype = dict(zip(keys_ds.schema().names,
+                         keys_ds.schema().types))[key]
         keys_only = (keys_only.map_batches(first, batch_format="pyarrow")
                      .groupby(key).aggregate(Count(alias_name="__n"))
-                     .drop_columns(["__n"]))
-    return merge_join(survivors, keys_only, on=key)
+                     .drop_columns(["__n"])
+                     .map_batches(
+                         lambda t, _ty=ktype: pa.table(
+                             {key: t[key].cast(_ty)}),
+                         batch_format="pyarrow"))
+    return hits, misses, keys_only
 
 
 def merge_join(left_ds, right_ds, on, join_type: str = "inner"):

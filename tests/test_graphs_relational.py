@@ -92,6 +92,35 @@ def test_bloom_semijoin_string_keys_and_dup_keyside(ray_session):
     assert sorted(zip(out["k"], out["v"])) == [("b", 2), ("d", 4)]
 
 
+def test_bloom_antijoin_exact_with_forced_false_positives(ray_session):
+    """Saturated filter (n_bits=64, 40 keys): most non-members Bloom-hit
+    and must be rescued by the left-anti verify; semi ∪ anti must
+    partition the probe side exactly."""
+    from orchid_fst_ray.pipelines.relational import (bloom_antijoin,
+                                                     bloom_semijoin)
+    probe = pa.table({
+        "k": pa.array(list(range(200)), pa.int64()),
+        "v": pa.array([f"p{i}" for i in range(200)])})
+    keys = pa.table({"k": pa.array(list(range(0, 200, 5)), pa.int64())})
+    anti = bloom_antijoin(_ds(probe), _ds(keys), key="k",
+                          n_bits=64, n_hashes=2).to_pandas()
+    want = [i for i in range(200) if i % 5 != 0]
+    assert sorted(anti["k"]) == want
+    semi = bloom_semijoin(_ds(probe), _ds(keys), key="k",
+                          n_bits=64, n_hashes=2).to_pandas()
+    assert sorted(list(anti["k"]) + list(semi["k"])) == list(range(200))
+
+
+def test_bloom_antijoin_string_keys(ray_session):
+    from orchid_fst_ray.pipelines.relational import bloom_antijoin
+    probe = pa.table({"k": pa.array(["a", "b", "c", "d", "e"]),
+                      "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    keys = pa.table({"k": pa.array(["b", "d", "zz"])})
+    out = bloom_antijoin(_ds(probe), _ds(keys), key="k").to_pandas()
+    assert sorted(zip(out["k"], out["v"])) == [
+        ("a", 1), ("c", 3), ("e", 5)]
+
+
 def test_bloom_semijoin_rejects_bad_nbits(ray_session):
     from orchid_fst_ray.pipelines.relational import bloom_semijoin
     with pytest.raises(ValueError):
