@@ -507,6 +507,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_meta(sf_dir), {"en": 0.05}, default_rate=0.5
         ).sort("doc_id")
 
+    def heavy_hitters(sf_dir: str):
+        """Exact top-20 tokens via the truncated-combiner + bounded
+        recount path (SpaceSaving shape): per-block top-64 survivors +
+        undercount bound B, then an exact broadcast recount of every
+        candidate that could still reach the top. per_block=64 forces
+        real truncation (B > 0) so the recount machinery is what the
+        oracle pins."""
+        from orchid_fst_ray.pipelines.analytics import heavy_hitters
+        return heavy_hitters(_docs(sf_dir), top_n=20, per_block=64)
+
     def term_frequencies(sf_dir: str):
         """Corpus-wide top-50 token frequencies via per-block partial
         counts (the combiner pattern) + one small global aggregate."""
@@ -880,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
+        "heavy_hitters": heavy_hitters,
         "term_frequencies": term_frequencies,
         "approx_distinct_tokens": approx_distinct_tokens,
         "approx_distinct_shingles": approx_distinct_shingles,
@@ -1893,6 +1904,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE ({_sql_poly_token("kstr")}) % 10000 <
                   CASE WHEN lang = 'en' THEN 500 ELSE 5000 END
             ORDER BY doc_id""",
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS token
+              FROM documents)
+            SELECT token, count(*)::BIGINT AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token LIMIT 20""",
         "term_frequencies": """
             WITH toks AS (
               SELECT unnest(list_filter(regexp_split_to_array(lower(text),

@@ -24,7 +24,7 @@ from orchid_fst_ray.pipelines.textstats import _explode_tokens
 
 __all__ = ["hll_token_registers", "hll_shingle_registers",
            "hll_estimate", "grouped_quantiles", "inverted_index",
-           "bit_length_u64"]
+           "heavy_hitters", "bit_length_u64"]
 
 
 def bit_length_u64(w: np.ndarray) -> np.ndarray:
@@ -320,3 +320,139 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
             .map_batches(pairs, batch_format="pyarrow")
             .sort("term")
             .map_batches(fold, batch_size=None, batch_format="pyarrow"))
+
+
+def heavy_hitters(ds, text_col: str = "text", top_n: int = 20,
+                  per_block: int = 4096, max_recount: int | None = None,
+                  return_info: bool = False):
+    """EXACT corpus-wide top-``top_n`` tokens WITHOUT ever shuffling
+    the full distinct-token table — the SpaceSaving/Misra-Gries shape
+    re-expressed over Ray blocks, with a recount pass that turns the
+    sketch into a provably exact answer.
+
+    Pass 1 (truncated combiner): each block counts its tokens exactly
+    (Arrow hash aggregate) and ships only its top ``per_block`` rows
+    plus ONE scalar ``bnd`` — the count of its first *dropped* token.
+    Any token absent from a block's survivors has fewer than ``bnd``
+    occurrences there, so the global undercount of ANY token is
+    ≤ B = Σ_blocks bnd. The one exchange is over ≤ per_block rows per
+    block — chosen, not vocabulary-sized (``term_frequencies`` ships
+    every distinct token; at web scale that IS the cost).
+
+    Pass 2 (exact recount): every token whose estimate could still
+    reach the top — ``est(x) + B ≥ est`` of the top_n-th candidate —
+    is recounted exactly against the full stream through a broadcast
+    membership filter (candidate set is O(top_n)-ish; ``max_recount``
+    caps it). Tokens never recounted satisfy
+    ``f(x) ≤ est(x) + B < est_nth ≤`` every reported count, so when
+    the candidate set fits the cap the result is EXACTLY the global
+    top_n (ties broken token-asc). ``return_info`` exposes
+    ``{"guaranteed": bool, "bound": B, "recounted": k}``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from orchid_fst_ray.pipelines.textstats import _explode_tokens
+
+    if max_recount is None:
+        max_recount = 64 * top_n
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.large_string()),
+                          "n": pa.array([], pa.int64()),
+                          "bnd": pa.array([], pa.int64())})
+        flat, _, _ = _explode_tokens(t[text_col])
+        if len(flat) == 0:
+            return empty
+        agg = pa.TableGroupBy(pa.table({"token": flat}),
+                              "token").aggregate([("token", "count")])
+        tok = agg["token"].combine_chunks().cast(pa.large_string())
+        cnt = agg["token_count"].combine_chunks().cast(pa.int64())
+        order = pc.sort_indices(pa.table({"n": cnt, "token": tok}),
+                                sort_keys=[("n", "descending"),
+                                           ("token", "ascending")])
+        keep = order[:per_block]
+        dropped = order[per_block:]
+        bnd = np.zeros(len(keep), np.int64)
+        if len(dropped):
+            bnd[0] = cnt.take(dropped[:1])[0].as_py()
+        return pa.table({"token": tok.take(keep), "n": cnt.take(keep),
+                         "bnd": pa.array(bnd)})
+
+    trunc = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .materialize())
+    B = int(trunc.sum("bnd") or 0)
+    est = (trunc.groupby("token").aggregate(Sum("n", alias_name="n"))
+           .map_batches(lambda t: pa.table({
+               "token": t["token"].cast(pa.large_string()),
+               "n": t["n"].cast(pa.int64())}), batch_format="pyarrow")
+           .sort(["n", "token"], descending=[True, False])
+           .materialize())
+    head = est.take(top_n)
+    if not head:
+        out = pa.table({"token": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())})
+        info = {"guaranteed": True, "bound": B, "recounted": 0}
+        return ((ray.data.from_arrow(out), info) if return_info
+                else ray.data.from_arrow(out))
+    est_nth = int(head[-1]["n"])
+    thresh = est_nth - B
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"], thresh))
+
+    cand_rows = (est.map_batches(above, batch_format="pyarrow")
+                 .take(max_recount + 1))
+    guaranteed = B == 0 or (B < est_nth
+                            and len(cand_rows) <= max_recount)
+    cand_rows = cand_rows[:max_recount]
+    cands = np.sort(np.asarray([r["token"] for r in cand_rows],
+                               dtype=object))
+    if B == 0:
+        # truncation never dropped anything: est IS exact
+        final = pa.table({
+            "token": pa.array([r["token"] for r in head], pa.string()),
+            "n": pa.array([int(r["n"]) for r in head], pa.int64())})
+        info = {"guaranteed": True, "bound": 0, "recounted": 0}
+        return ((ray.data.from_arrow(final), info) if return_info
+                else ray.data.from_arrow(final))
+    ref = ray.put(cands)
+
+    class Recount:
+        def __init__(self) -> None:
+            self.cands = ray.get(ref)           # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table({"token": pa.array([], pa.large_string()),
+                              "n": pa.array([], pa.int64())})
+            flat, _, _ = _explode_tokens(t[text_col])
+            if len(flat) == 0:
+                return empty
+            toks = flat.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.cands, toks)
+            pos_c = np.minimum(pos, len(self.cands) - 1)
+            hit = self.cands[pos_c] == toks
+            if not hit.any():
+                return empty
+            agg = pa.TableGroupBy(pa.table({
+                "token": pa.array(toks[hit], pa.large_string())}),
+                "token").aggregate([("token", "count")])
+            return pa.table({
+                "token": agg["token"].combine_chunks().cast(
+                    pa.large_string()),
+                "n": agg["token_count"].combine_chunks().cast(
+                    pa.int64())})
+
+    exact = (ds.select_columns([text_col])
+             .map_batches(Recount, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=1)
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .map_batches(lambda t: pa.table({
+                 "token": t["token"].cast(pa.string()),
+                 "n": t["n"].cast(pa.int64())}), batch_format="pyarrow")
+             .sort(["n", "token"], descending=[True, False])
+             .limit(top_n))
+    info = {"guaranteed": bool(guaranteed), "bound": B,
+            "recounted": len(cands)}
+    return (exact, info) if return_info else exact

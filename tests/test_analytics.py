@@ -144,3 +144,59 @@ def test_inverted_index_skewed_term_single_row(ray_session):
     assert list(got.term) == ["common"]
     assert int(got.df.iloc[0]) == n
     assert got.postings.iloc[0] == ",".join(map(str, range(10)))
+
+
+def _hh_corpus() -> pa.Table:
+    # skewed: 10 hot tokens (counts 105..150) over a long tail of 200
+    # tokens with 2 occurrences each — the regime the truncated
+    # combiner is FOR (per-block bound stays tail-sized, so the
+    # exactness guarantee B < est_nth holds despite real truncation)
+    toks = []
+    for i in range(10):
+        toks += [f"hot{i}"] * (150 - 5 * i)
+    for i in range(200):
+        toks += [f"x{i:03d}"] * 2
+    rng = np.random.default_rng(7)
+    rng.shuffle(toks)
+    per_doc = 12
+    rows = [" ".join(toks[d:d + per_doc])
+            for d in range(0, len(toks), per_doc)]
+    return pa.table({"text": pa.array(rows, pa.string())})
+
+
+def _brute_top(tbl: pa.Table, n: int) -> list[tuple[str, int]]:
+    from collections import Counter
+    c = Counter()
+    for s in tbl["text"].to_pylist():
+        c.update(s.split())
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+
+def test_heavy_hitters_exact_with_truncation(ray_session):
+    from orchid_fst_ray.pipelines.analytics import heavy_hitters
+    tbl = _hh_corpus()
+    out, info = heavy_hitters(_ds(tbl, parts=6), top_n=10,
+                              per_block=16, return_info=True)
+    got = [(r["token"], r["n"]) for r in out.take_all()]
+    assert info["bound"] > 0          # truncation really happened
+    assert info["guaranteed"] is True
+    assert got == _brute_top(tbl, 10)
+
+
+def test_heavy_hitters_no_truncation_fast_path(ray_session):
+    from orchid_fst_ray.pipelines.analytics import heavy_hitters
+    tbl = _hh_corpus()
+    out, info = heavy_hitters(_ds(tbl, parts=2), top_n=5,
+                              per_block=10_000, return_info=True)
+    got = [(r["token"], r["n"]) for r in out.take_all()]
+    assert info == {"guaranteed": True, "bound": 0, "recounted": 0}
+    assert got == _brute_top(tbl, 5)
+
+
+def test_heavy_hitters_unguaranteed_when_capped(ray_session):
+    from orchid_fst_ray.pipelines.analytics import heavy_hitters
+    tbl = _hh_corpus()
+    _out, info = heavy_hitters(_ds(tbl, parts=6), top_n=10,
+                               per_block=2, max_recount=3,
+                               return_info=True)
+    assert info["guaranteed"] is False
