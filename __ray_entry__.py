@@ -649,6 +649,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_qty_units": t["sum_qty_units"].cast(pa.int64()),
         }), batch_format="pyarrow").sort("l_returnflag")
 
+    def kmeans_embeddings(sf_dir: str):
+        """Fixed-point Lloyd's k-means (k=8, 2 rounds) over the
+        embeddings table — integer quantization + integer centroid
+        updates make the distributed result bit-identical to the
+        unrolled SQL replay (pipelines/ml.py)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.ml import kmeans_fixedpoint
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        return kmeans_fixedpoint(emb, k=8, iters=2)
+
     def graph_pagerank(sf_dir: str):
         """Fixed-point INTEGER PageRank (3 damped rounds) over the
         symmetrized user↔event-type bipartite graph from events —
@@ -898,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": inverted_index,
         "bloom_semijoin_urgent": bloom_semijoin_urgent,
         "bloom_antijoin_nonurgent": bloom_antijoin_nonurgent,
+        "kmeans_embeddings": kmeans_embeddings,
         "graph_pagerank": graph_pagerank,
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
@@ -1056,6 +1068,64 @@ def _hll_shingles_sql(p: int = 10, k: int = 3) -> str:
             SELECT register::BIGINT AS register,
                    MAX(rank)::BIGINT AS max_rank
             FROM rk GROUP BY register ORDER BY register"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2,
+                scale: int = 1_000_000) -> str:
+    """Exact SQL replica of ``kmeans_embeddings`` (pipelines/ml.py):
+    Lloyd rounds UNROLLED as CTE triples (distance/assign/update), all
+    fixed-point integer. Floor division is spelled with the exact
+    integer identity ``(s - ((s %% n) + n) %% n) // n`` because
+    DuckDB's ``//`` truncates toward zero while the engine floors."""
+    ctes = [f"""q AS (
+              SELECT vec_id::BIGINT AS vec_id,
+                     generate_subscripts(embedding, 1) AS d,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * {scale}) AS BIGINT) AS qx
+              FROM embeddings),
+            init AS (
+              SELECT vec_id::BIGINT AS vec_id,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS cid
+              FROM embeddings ORDER BY vec_id LIMIT {k}),
+            c0 AS (SELECT i.cid, q.d, q.qx AS cx
+                   FROM init i JOIN q USING (vec_id))"""]
+    last = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""dst{i} AS (
+              SELECT q.vec_id, c.cid,
+                     sum((q.qx - c.cx) * (q.qx - c.cx))::HUGEINT AS dist
+              FROM q JOIN {last} c USING (d)
+              GROUP BY q.vec_id, c.cid),
+            a{i} AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM dst{i}) WHERE rn = 1),
+            s{i} AS (
+              SELECT a.cid, q.d, sum(q.qx)::HUGEINT AS s,
+                     count(*)::HUGEINT AS n
+              FROM a{i} a JOIN q USING (vec_id)
+              GROUP BY a.cid, q.d),
+            c{i} AS (
+              SELECT p.cid, p.d,
+                     CAST(coalesce(
+                       (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n,
+                       p.cx) AS BIGINT) AS cx
+              FROM {last} p LEFT JOIN s{i} s
+                ON p.cid = s.cid AND p.d = s.d)""")
+        last = f"c{i}"
+    ctes.append(f"""dfin AS (
+              SELECT q.vec_id, c.cid,
+                     sum((q.qx - c.cx) * (q.qx - c.cx))::HUGEINT AS dist
+              FROM q JOIN {last} c USING (d)
+              GROUP BY q.vec_id, c.cid)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            "            SELECT vec_id, cid::BIGINT AS cluster FROM (\n"
+            "              SELECT vec_id, cid,\n"
+            "                     row_number() OVER (PARTITION BY vec_id\n"
+            "                                        ORDER BY dist, cid) AS rn\n"
+            "              FROM dfin) WHERE rn = 1 ORDER BY vec_id")
 
 
 def _pagerank_sql(iters: int = 3, scale: int = 1_000_000,
@@ -1970,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
                                      WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "kmeans_embeddings": _kmeans_sql(k=8, iters=2),
         "graph_pagerank": _pagerank_sql(iters=3),
         "customers_per_region": """
             SELECT r_name,
