@@ -660,6 +660,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return kmeans_fixedpoint(emb, k=8, iters=2)
 
+    def knn_triangles(sf_dir: str):
+        """k-NN graph (k=3 cosine neighbors per embedding) → distributed
+        degree-ordered triangle count: one row of exact integer graph
+        stats (pipelines/graphs.triangle_count)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.graphs import triangle_count
+        from orchid_fst_ray.pipelines.similarity import knn_edges
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        return triangle_count(knn_edges(emb, k=3))
+
     def graph_pagerank(sf_dir: str):
         """Fixed-point INTEGER PageRank (3 damped rounds) over the
         symmetrized user↔event-type bipartite graph from events —
@@ -910,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": bloom_semijoin_urgent,
         "bloom_antijoin_nonurgent": bloom_antijoin_nonurgent,
         "kmeans_embeddings": kmeans_embeddings,
+        "knn_triangles": knn_triangles,
         "graph_pagerank": graph_pagerank,
         "events_topk": events_topk,
         "customers_per_region": customers_per_region,
@@ -2041,6 +2053,39 @@ def oracle_sql() -> dict[str, str]:
                                      WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
         "kmeans_embeddings": _kmeans_sql(k=8, iters=2),
+        "knn_triangles": """
+            WITH s AS (
+              SELECT q.vec_id AS qid, e.vec_id AS vid,
+                     list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]) AS cos
+              FROM embeddings e, embeddings q
+              WHERE e.vec_id != q.vec_id),
+            r AS (SELECT qid, vid,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos DESC, vid)
+                             AS rank
+                  FROM s),
+            e AS (SELECT DISTINCT least(qid, vid) AS a,
+                                  greatest(qid, vid) AS b
+                  FROM r WHERE rank <= 3),
+            deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                     SELECT a AS node FROM e
+                     UNION ALL SELECT b FROM e) GROUP BY node),
+            o AS (SELECT CASE WHEN da.deg <= db.deg
+                              THEN e.a ELSE e.b END AS src,
+                         CASE WHEN da.deg <= db.deg
+                              THEN e.b ELSE e.a END AS dst
+                  FROM e JOIN deg da ON e.a = da.node
+                         JOIN deg db ON e.b = db.node),
+            w AS (SELECT least(o1.dst, o2.dst) AS a,
+                         greatest(o1.dst, o2.dst) AS b
+                  FROM o o1 JOIN o o2
+                    ON o1.src = o2.src AND o1.dst < o2.dst)
+            SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+                   (SELECT count(*) FROM w JOIN e USING (a, b))::BIGINT
+                       AS n_triangles""",
         "graph_pagerank": _pagerank_sql(iters=3),
         "customers_per_region": """
             SELECT r_name,

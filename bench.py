@@ -182,6 +182,9 @@ _QUERY_GROUPS = [
      "orders_per_priority"],
     ["multimodal_image_features", "multimodal_image_codecs",
      "multimodal_audio_frames"],
+    # round-4 additions: sketch/join/iterative operators
+    ["heavy_hitters", "bloom_semijoin_urgent", "graph_pagerank",
+     "kmeans_embeddings"],
 ]
 
 

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["pagerank_int"]
+__all__ = ["pagerank_int", "triangle_count"]
 
 
 def pagerank_int(edges_ds, iters: int = 3, scale: int = 1_000_000,
@@ -220,3 +220,170 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = 1_000_000,
                 "rank": t["rank"].cast(pa.int64())}),
                 batch_format="pyarrow")
             .sort("node"))
+
+
+def triangle_count(edges_ds, broadcast_max_bytes: int = 256 << 20):
+    """Distributed triangle counting over a canonical undirected edge
+    list ``(a:int64, b:int64)`` (``a < b``, distinct) → ONE row
+    ``(n_nodes, n_edges, n_wedges, n_triangles)``, all exact int64.
+
+    The classic degree-ordered orientation: every edge points from its
+    lower-(degree, id) endpoint to the higher one, so each triangle
+    has exactly ONE apex whose two out-edges form the counted wedge —
+    and out-degrees are bounded by O(sqrt(m)) on any graph, which is
+    what keeps hub nodes from exploding the wedge stage (a hub's
+    edges mostly point AT it).
+
+    Stages: (1) degree table via per-block partial counts + one
+    narrow groupby; (2) orientation — the (node, deg) table is
+    broadcast when it fits ``broadcast_max_bytes`` (node tables are
+    ~sqrt-of-edge-table sized), else two :func:`merge_join`
+    exchanges attach degrees; (3) one co-locating sort on ``src``,
+    per-block CSR wedge expansion (the same ``_run_triangle_indices``
+    kernel the ER candidate stage uses); (4) wedges ⋈ edges
+    merge-join — a closed wedge IS a triangle, each counted once."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from orchid_fst_ray.pipelines.relational import merge_join
+    from orchid_fst_ray.stages.candidates import _run_triangle_indices
+
+    edges_ds = edges_ds.materialize()     # consumed 4x below
+    n_edges = edges_ds.count()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["a"].combine_chunks().to_numpy(zero_copy_only=False),
+            t["b"].combine_chunks().to_numpy(zero_copy_only=False)])
+        nodes, cnt = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+           .map_batches(lambda t: pa.table({
+               "node": t["node"].cast(pa.int64()),
+               "deg": t["deg"].cast(pa.int64())}),
+               batch_format="pyarrow")
+           .materialize())
+    n_nodes = deg.count()
+
+    def _orient_with(lookup):
+        nodes_np, deg_np = lookup
+
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            da = deg_np[np.searchsorted(nodes_np, a)]
+            db = deg_np[np.searchsorted(nodes_np, b)]
+            # a < b canonical, so (deg, id) order == deg order with
+            # a-wins ties
+            a_first = (da < db) | ((da == db))
+            src = np.where(a_first, a, b)
+            dst = np.where(a_first, b, a)
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+        return fn
+
+    if deg.size_bytes() <= broadcast_max_bytes:
+        tbl = pa.concat_tables(
+            t for t in ray.get(deg.to_arrow_refs()) if t.num_rows)
+        nodes_np = tbl["node"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(nodes_np)
+        lookup = (nodes_np[order],
+                  tbl["deg"].combine_chunks().to_numpy(
+                      zero_copy_only=False)[order])
+        ref = ray.put(lookup)
+
+        class Orient:
+            def __init__(self) -> None:
+                self.fn = _orient_with(ray.get(ref))
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return self.fn(t)
+
+        oriented = edges_ds.map_batches(Orient, batch_format="pyarrow",
+                                        concurrency=(1, 8), num_cpus=1)
+    else:
+        # attach degrees with two exchanges (rename key per side)
+        ea = merge_join(
+            edges_ds.map_batches(lambda t: pa.table({
+                "node": t["a"].cast(pa.int64()),
+                "b": t["b"].cast(pa.int64())}), batch_format="pyarrow"),
+            deg.map_batches(lambda t: pa.table({
+                "node": t["node"].cast(pa.int64()),
+                "da": t["deg"].cast(pa.int64())}),
+                batch_format="pyarrow"),
+            on="node")
+        eab = merge_join(
+            ea.map_batches(lambda t: pa.table({
+                "a": t["node"].cast(pa.int64()),
+                "node": t["b"].cast(pa.int64()),
+                "da": t["da"].cast(pa.int64())}),
+                batch_format="pyarrow"),
+            deg.map_batches(lambda t: pa.table({
+                "node": t["node"].cast(pa.int64()),
+                "db": t["deg"].cast(pa.int64())}),
+                batch_format="pyarrow"),
+            on="node")
+
+        def orient2(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["node"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            da = t["da"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            db = t["db"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            a_first = (da < db) | (da == db)
+            return pa.table({
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64())})
+
+        oriented = eab.map_batches(orient2, batch_format="pyarrow")
+
+    def wedges(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(t, sort_keys=[("src", "ascending"),
+                                            ("dst", "ascending")])
+        src = t["src"].take(idx).to_numpy(zero_copy_only=False)
+        dst = t["dst"].take(idx).to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(src[1:] != src[:-1]) + 1,
+             [len(src)])).astype(np.int64)
+        i, j = _run_triangle_indices(bounds)
+        if not len(i):
+            return empty
+        # dst sorted within each src run → wedge (v, w) is canonical
+        return pa.table({"a": pa.array(dst[i], pa.int64()),
+                         "b": pa.array(dst[j], pa.int64())})
+
+    wedge_ds = (oriented.sort("src")
+                .map_batches(wedges, batch_size=None,
+                             batch_format="pyarrow")
+                .materialize())
+    n_wedges = wedge_ds.count()
+    closed = merge_join(wedge_ds,
+                        edges_ds.map_batches(
+                            lambda t: t.append_column(
+                                "__hit", pa.array(
+                                    np.ones(t.num_rows, np.int8))),
+                            batch_format="pyarrow"),
+                        on=["a", "b"])
+    n_tri = closed.count()
+    return ray.data.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64())}))

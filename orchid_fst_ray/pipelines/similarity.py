@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from orchid_fst_ray.pipelines.dedup import _vec_matrix
 
-__all__ = ["ann_topk", "lsh_ann_topk", "ivf_ann_topk", "collect_queries"]
+__all__ = ["ann_topk", "lsh_ann_topk", "ivf_ann_topk", "collect_queries", "knn_edges"]
 
 
 def collect_queries(ds, query_ids: list[int], vec_col: str = "embedding",
@@ -245,3 +245,86 @@ def ivf_ann_topk(ds, query_ids: list[int], k: int = 10, n_cells: int = 16,
         BatchIvf, fn_constructor_args=(ref, k),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
     return _final_topk(local, k)
+
+
+def knn_edges(ds, k: int = 3, vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              broadcast_max_bytes: int = 256 * 2 ** 20):
+    """Undirected k-NN graph over the embedding column → canonical
+    DISTINCT edges ``(a:int64, b:int64)`` with ``a < b``: each vector
+    contributes edges to its ``k`` nearest neighbors by cosine (ties
+    cos desc, id asc — the ``ann_topk`` contract).
+
+    DECLARED BASELINE PATH: the full unit-norm matrix is broadcast
+    once via ``ray.put`` (size-gated at ``broadcast_max_bytes``) and
+    each batch does one (batch × all) matmul — the same small-side
+    baseline as ``dedup.embedding_dup_pairs`` brute. Above the gate
+    the scale path is the LSH-bucketed neighbor generator
+    (``lsh_ann_topk`` / ``embedding_dup_pairs_lsh``); this function
+    raises rather than silently degrading."""
+    import ray
+
+    mats, idl = [], []
+    for t in ray.get(ds.select_columns([id_col, vec_col])
+                     .to_arrow_refs()):
+        if t.num_rows:
+            idl.append(np.asarray(t[id_col].to_pylist(), np.int64))
+            mats.append(_vec_matrix(t[vec_col]))
+    ids_all = np.concatenate(idl)
+    m = np.vstack(mats)
+    if m.nbytes > broadcast_max_bytes:
+        raise ValueError(
+            f"knn_edges baseline gate: matrix {m.nbytes}B > "
+            f"{broadcast_max_bytes}B — use the LSH neighbor path")
+    order = np.argsort(ids_all)
+    ids_all, m = ids_all[order], m[order]
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    ref = ray.put((ids_all, m / nrm[:, None]))
+
+    class Neighbors:
+        def __init__(self) -> None:
+            self.ids, self.unit = ray.get(ref)    # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            bids = np.asarray(t[id_col].to_pylist(), np.int64)
+            bm = _vec_matrix(t[vec_col])
+            n = np.linalg.norm(bm, axis=1)
+            n[n == 0] = 1.0
+            cos = (bm / n[:, None]) @ self.unit.T
+            # exclude self; stable argsort on -cos keeps the
+            # id-ascending column order on ties (= cos desc, id asc)
+            self_pos = np.searchsorted(self.ids, bids)
+            cos[np.arange(len(bids)), self_pos] = -np.inf
+            nb = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+            src = np.repeat(bids, k)
+            dst = self.ids[nb.ravel()]
+            a = np.minimum(src, dst)
+            b = np.maximum(src, dst)
+            # block-local dedup; cross-block repeats collapse below
+            if len(a) and int(b.max()) < (1 << 31):
+                key = (a << np.int64(32)) | b
+                _, first = np.unique(key, return_index=True)
+            else:      # id range too wide for the packed-key shortcut
+                _, first = np.unique(np.stack([a, b], axis=1), axis=0,
+                                     return_index=True)
+            return pa.table({"a": pa.array(a[first], pa.int64()),
+                             "b": pa.array(b[first], pa.int64())})
+
+    edges = ds.select_columns([id_col, vec_col]).map_batches(
+        Neighbors, batch_format="pyarrow", concurrency=(1, 8),
+        num_cpus=1)
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.group_by(["a", "b"]).aggregate([])
+
+    # one co-locating sort, then block-local distinct is global
+    # distinct (equal keys never split across sorted blocks)
+    return (edges.sort(["a", "b"])
+            .map_batches(block_unique, batch_size=None,
+                         batch_format="pyarrow"))

@@ -125,3 +125,68 @@ def test_bloom_semijoin_rejects_bad_nbits(ray_session):
     from orchid_fst_ray.pipelines.relational import bloom_semijoin
     with pytest.raises(ValueError):
         bloom_semijoin(None, None, key="k", n_bits=100)
+
+
+def _tri_edges():
+    # two triangles sharing an edge + a pendant: nodes 0-4
+    # edges: (0,1)(0,2)(1,2)(1,3)(2,3)(3,4)
+    return pa.table({
+        "a": pa.array([0, 0, 1, 1, 2, 3], pa.int64()),
+        "b": pa.array([1, 2, 2, 3, 3, 4], pa.int64())})
+
+
+@pytest.mark.parametrize("gate", [256 << 20, 0],
+                         ids=["broadcast", "exchange"])
+def test_triangle_count_known_graph(ray_session, gate):
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.graphs import triangle_count
+    got = triangle_count(rd.from_arrow(_tri_edges()).repartition(3),
+                         broadcast_max_bytes=gate).to_pandas()
+    row = got.iloc[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 6, 2)
+
+
+def test_triangle_count_triangle_free(ray_session):
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.graphs import triangle_count
+    star = pa.table({"a": pa.array([0, 0, 0], pa.int64()),
+                     "b": pa.array([1, 2, 3], pa.int64())})
+    got = triangle_count(rd.from_arrow(star)).to_pandas()
+    assert int(got.iloc[0].n_triangles) == 0
+    # degree orientation points every leaf AT the hub, so each leaf
+    # has out-degree 1 and the star generates ZERO wedges — exactly
+    # the hub-taming property the orientation buys at scale
+    assert int(got.iloc[0].n_wedges) == 0
+
+
+def test_knn_edges_matches_numpy(ray_session):
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.similarity import knn_edges
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (40, 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    got = knn_edges(rd.from_arrow(tbl).repartition(4), k=2).to_pandas()
+    unit = vecs.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1)[:, None]
+    cos = unit @ unit.T
+    np.fill_diagonal(cos, -np.inf)
+    want = set()
+    for i in range(40):
+        for j in np.argsort(-cos[i], kind="stable")[:2]:
+            want.add((min(i, int(j)), max(i, int(j))))
+    assert set(zip(got["a"], got["b"])) == want
+    assert len(got) == len(want)          # distinct
+
+
+def test_knn_edges_gate(ray_session):
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.similarity import knn_edges
+    tbl = pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([[float(i)] * 4 for i in range(10)],
+                              pa.list_(pa.float32()))})
+    with pytest.raises(ValueError):
+        knn_edges(rd.from_arrow(tbl), k=2, broadcast_max_bytes=8)
