@@ -660,6 +660,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return kmeans_fixedpoint(emb, k=8, iters=2)
 
+    def partitioned_write(sf_dir: str):
+        """Resumable key-partitioned Parquet sink: documents written
+        as one atomically-committed directory per lang under a fresh
+        temp root; returns the (part_key, n_rows, skipped) manifest —
+        rows exactly a GROUP BY lang, skipped always 0 on a fresh
+        root (sources/sinks.py)."""
+        import tempfile
+        import ray.data as rd
+        from orchid_fst_ray.sources.sinks import write_partitioned
+        root = tempfile.mkdtemp(prefix="ofst_partwrite_")
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        return write_partitioned(docs, root, by_col="lang")
+
     def knn_triangles(sf_dir: str):
         """k-NN graph (k=3 cosine neighbors per embedding) → distributed
         degree-ordered triangle count: one row of exact integer graph
@@ -921,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": bloom_semijoin_urgent,
         "bloom_antijoin_nonurgent": bloom_antijoin_nonurgent,
         "kmeans_embeddings": kmeans_embeddings,
+        "partitioned_write": partitioned_write,
         "knn_triangles": knn_triangles,
         "graph_pagerank": graph_pagerank,
         "events_topk": events_topk,
@@ -2053,6 +2068,10 @@ def oracle_sql() -> dict[str, str]:
                                      WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
         "kmeans_embeddings": _kmeans_sql(k=8, iters=2),
+        "partitioned_write": """
+            SELECT lang AS part_key, count(*)::BIGINT AS n_rows,
+                   0::BIGINT AS skipped
+            FROM documents GROUP BY lang ORDER BY part_key""",
         "knn_triangles": """
             WITH s AS (
               SELECT q.vec_id AS qid, e.vec_id AS vid,
