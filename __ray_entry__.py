@@ -660,6 +660,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return kmeans_fixedpoint(emb, k=8, iters=2)
 
+    def repetition_stats(sf_dir: str):
+        """Gopher-style per-doc repetition signals (duplicate-token and
+        dominant-n-gram character fractions, integer ppm) — the classic
+        boilerplate filters, shuffle-free (textstats.repetition_stats)."""
+        return textstats.repetition_stats(_docs(sf_dir))
+
     def partitioned_write(sf_dir: str):
         """Resumable key-partitioned Parquet sink: documents written
         as one atomically-committed directory per lang under a fresh
@@ -935,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": bloom_semijoin_urgent,
         "bloom_antijoin_nonurgent": bloom_antijoin_nonurgent,
         "kmeans_embeddings": kmeans_embeddings,
+        "repetition_stats": repetition_stats,
         "partitioned_write": partitioned_write,
         "knn_triangles": knn_triangles,
         "graph_pagerank": graph_pagerank,
@@ -2068,6 +2075,60 @@ def oracle_sql() -> dict[str, str]:
                                      WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
         "kmeans_embeddings": _kmeans_sql(k=8, iters=2),
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                       lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(l) AS tok,
+                     generate_subscripts(l, 1) AS pos
+              FROM base),
+            stats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tok,
+                     count(DISTINCT tok)::BIGINT AS n_dist,
+                     (sum(length(tok)) + count(*) - 1)::BIGINT
+                         AS total_len
+              FROM toks GROUP BY doc_id),
+            g2 AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS gram
+              FROM toks),
+            g2c AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+                    FROM g2 WHERE gram IS NOT NULL
+                    GROUP BY doc_id, gram),
+            b2 AS (SELECT doc_id, cnt, length(gram)::BIGINT AS glen
+                   FROM (SELECT *, row_number() OVER
+                           (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram) AS rn FROM g2c)
+                   WHERE rn = 1),
+            g3 AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok, 1) OVER w
+                         || ' ' || lead(tok, 2) OVER w AS gram
+              FROM toks
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            g3c AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+                    FROM g3 WHERE gram IS NOT NULL
+                    GROUP BY doc_id, gram),
+            b3 AS (SELECT doc_id, cnt, length(gram)::BIGINT AS glen
+                   FROM (SELECT *, row_number() OVER
+                           (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram) AS rn FROM g3c)
+                   WHERE rn = 1)
+            SELECT d.doc_id,
+                   coalesce((s.n_tok - s.n_dist) * 1000000 // s.n_tok,
+                            0)::BIGINT AS dup_token_ppm,
+                   coalesce(b2.cnt * b2.glen * 1000000 // s.total_len,
+                            0)::BIGINT AS top2gram_ppm,
+                   coalesce(b3.cnt * b3.glen * 1000000 // s.total_len,
+                            0)::BIGINT AS top3gram_ppm
+            FROM documents d
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN b2 USING (doc_id)
+            LEFT JOIN b3 USING (doc_id)
+            ORDER BY d.doc_id""",
         "partitioned_write": """
             SELECT lang AS part_key, count(*)::BIGINT AS n_rows,
                    0::BIGINT AS skipped

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from orchid_fst_ray.functions.text import stable_fingerprint
 
 __all__ = ["token_stats", "quality_stats", "lang_id", "doc_fingerprints",
-           "pii_scan", "term_frequencies", "quality_ok_mask",
+           "pii_scan", "term_frequencies", "repetition_stats",
+           "quality_ok_mask",
            "lang_pred_array", "STOPWORDS_EN"]
 
 _WORD_PAT = "[A-Za-z0-9]+"
@@ -401,3 +402,104 @@ def salient_terms(ds, top_k: int = 5, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         Rank, concurrency=(1, 4), batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Gopher/RefinedWeb-style per-document repetition signals →
+    ``(doc_id, dup_token_ppm, top2gram_ppm, top3gram_ppm)``, all
+    integer parts-per-million so the DuckDB oracle replays them
+    value-for-value:
+
+    - ``dup_token_ppm``   = ⌊1e6 · (n_tokens − n_distinct) / n_tokens⌋
+    - ``top{2,3}gram_ppm`` = ⌊1e6 · occurrences(most frequent n-gram)
+      · char_len(n-gram) / char_len(all tokens space-joined)⌋ — the
+      fraction of characters covered by the dominant n-gram, the
+      classic boilerplate/repetition filter (ties: count desc, gram
+      asc). Documents with < n tokens score 0.
+
+    Row-local and shuffle-free: one ``map_batches`` pass; per batch the
+    token stream is exploded ONCE and both n-gram sizes reuse the same
+    flat arrays (pandas factorize + np.bincount — no Python loop over
+    rows or grams)."""
+    M = 1_000_000
+
+    def _top_ngram_ppm(toks: np.ndarray, row: np.ndarray,
+                       tok_len: np.ndarray, total_len: np.ndarray,
+                       n_rows: int, n: int) -> np.ndarray:
+        import pandas as pd
+        out = np.zeros(n_rows, np.int64)
+        if len(toks) < n:
+            return out
+        # adjacent windows within one doc: all n consecutive tokens
+        # share the row id
+        same = np.ones(len(toks) - (n - 1), bool)
+        for j in range(1, n):
+            same &= row[j:len(row) - (n - 1) + j] == \
+                row[:len(row) - (n - 1)]
+        if not same.any():
+            return out
+        base = np.flatnonzero(same)
+        grow = row[base]
+        # gram string key: tokens joined by one space
+        parts = [toks[base + j] for j in range(n)]
+        gram = parts[0].astype(object)
+        for p in parts[1:]:
+            gram = gram + " " + p.astype(object)
+        glen = sum(tok_len[base + j] for j in range(n)) + (n - 1)
+        # count per (row, gram); argmax per row with (count desc,
+        # gram asc) tie-break
+        codes, uniq = pd.factorize(gram)
+        key = grow * np.int64(len(uniq)) + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        urow = (ukey // len(uniq)).astype(np.int64)
+        ugram = uniq[ukey % len(uniq)]
+        # glen for a (row, gram) pair: gather it from any occurrence
+        uglen = np.zeros(len(ukey), np.int64)
+        slot = np.searchsorted(ukey, key)
+        uglen[slot] = glen
+        order = np.lexsort((ugram, -cnt, urow))   # row, count desc, gram
+        urow_s = urow[order]
+        firsts = np.concatenate(
+            ([0], np.flatnonzero(urow_s[1:] != urow_s[:-1]) + 1))
+        best = order[firsts]
+        covered = cnt[best] * uglen[best]
+        out[urow[best]] = covered * M // total_len[urow[best]]
+        return out
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        flat, row, n_rows = _explode_tokens(t[text_col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if len(flat) else np.zeros(0, np.int64)
+        n_tok = np.bincount(row, minlength=n_rows).astype(np.int64) \
+            if len(row) else np.zeros(n_rows, np.int64)
+        # distinct tokens per row (factorize + unique of packed key)
+        import pandas as pd
+        dup_ppm = np.zeros(n_rows, np.int64)
+        total_len = np.ones(n_rows, np.int64)   # guard div-by-zero
+        if len(toks):
+            codes, uniq = pd.factorize(toks)
+            key = row * np.int64(len(uniq)) + codes
+            n_dist = np.bincount(
+                (np.unique(key) // len(uniq)).astype(np.int64),
+                minlength=n_rows).astype(np.int64)
+            nz = n_tok > 0
+            dup_ppm[nz] = ((n_tok[nz] - n_dist[nz]) * M) // n_tok[nz]
+            sums = np.zeros(n_rows, np.int64)
+            np.add.at(sums, row, tok_len)
+            total_len = np.where(n_tok > 0,
+                                 sums + np.maximum(n_tok - 1, 0), 1)
+        return pa.table({
+            "doc_id": ids,
+            "dup_token_ppm": pa.array(dup_ppm, pa.int64()),
+            "top2gram_ppm": pa.array(_top_ngram_ppm(
+                toks, row, tok_len, total_len, n_rows, 2), pa.int64()),
+            "top3gram_ppm": pa.array(_top_ngram_ppm(
+                toks, row, tok_len, total_len, n_rows, 3), pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(fn, batch_format="pyarrow")
+            .sort(id_col))
