@@ -660,6 +660,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return kmeans_fixedpoint(emb, k=8, iters=2)
 
+    def lineitem_rollup(sf_dir: str):
+        """GROUPING-SETS rollup (returnflag, linestatus) → (returnflag)
+        → grand total in one data-sized pass; coarser levels derive
+        from the finest aggregate (relational.rollup_aggregate)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.relational import rollup_aggregate
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "l_returnflag": t["l_returnflag"].cast(pa.string()),
+                "l_linestatus": t["l_linestatus"].cast(pa.string()),
+                "qty_units": pc.cast(pc.floor(pc.cast(
+                    t["l_quantity"], pa.float64())), pa.int64())})
+
+        return rollup_aggregate(
+            li.map_batches(prep, batch_format="pyarrow"),
+            keys=["l_returnflag", "l_linestatus"],
+            units_col="qty_units")
+
+    def events_running(sf_dir: str):
+        """Per-user running count + running integer value sum — the
+        distributed per-group prefix scan (events.running_totals)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import running_totals
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+        return running_totals(ev)
+
     def repetition_stats(sf_dir: str):
         """Gopher-style per-doc repetition signals (duplicate-token and
         dominant-n-gram character fractions, integer ppm) — the classic
@@ -941,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": bloom_semijoin_urgent,
         "bloom_antijoin_nonurgent": bloom_antijoin_nonurgent,
         "kmeans_embeddings": kmeans_embeddings,
+        "lineitem_rollup": lineitem_rollup,
+        "events_running": events_running,
         "repetition_stats": repetition_stats,
         "partitioned_write": partitioned_write,
         "knn_triangles": knn_triangles,
@@ -2075,6 +2111,24 @@ def oracle_sql() -> dict[str, str]:
                                      WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
         "kmeans_embeddings": _kmeans_sql(k=8, iters=2),
+        "lineitem_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT
+                       AS sum_units
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
+        "events_running": """
+            SELECT event_id, user_id,
+                   row_number() OVER w::BIGINT AS run_cnt,
+                   sum(CAST(floor(value * 100) AS BIGINT))
+                       OVER w::BIGINT AS run_units
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY event_id""",
         "repetition_stats": """
             WITH base AS (
               SELECT doc_id, list_filter(regexp_split_to_array(

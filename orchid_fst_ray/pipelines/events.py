@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_window_stats", "sessionize",
+__all__ = ["running_totals", "tumbling_window_stats", "sessionize",
            "asof_join_prior", "range_join_window", "top_k_per_user"]
 
 
@@ -302,3 +302,59 @@ def range_join_window(events_ds, left_type: str, right_type: str,
 
     return both.sort(user_col).map_batches(
         merge, batch_size=None, batch_format="pyarrow")
+
+
+def running_totals(events_ds, user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value"):
+    """→ (event_id, user_id, run_cnt, run_units): per-user RUNNING
+    count and running integer value sum (``floor(value·100)`` units,
+    so the cumulative sums are exact integers the SQL window replay
+    hash-matches), ordered by (ts, event_id) within each user.
+
+    The per-group-prefix-scan shape: one range-partition sort on the
+    USER KEY ALONE (a composite (user, ts) key could split one user
+    across blocks; the single-key sort invariant keeps each user
+    whole), then each block lexsorts its users' events and computes
+    all cumulative sums in two vectorized passes (global cumsum minus
+    the per-segment offset)."""
+    import numpy as np
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "run_cnt": pa.array([], pa.int64()),
+                "run_units": pa.array([], pa.int64())})
+        users = _i64(t[user_col])
+        tsv = _i64(t[ts_col].cast(pa.int64()))
+        ids = _i64(t[id_col])
+        units = np.floor(t[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        order = np.lexsort((ids, tsv, users))
+        users, ids, units = users[order], ids[order], units[order]
+        n = len(users)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(users[1:] != users[:-1]) + 1))
+        lens = np.diff(np.concatenate((seg, [n])))
+        # running count: global index minus segment start
+        run_cnt = (np.arange(n, dtype=np.int64)
+                   - np.repeat(seg, lens) + 1)
+        # running sum: global cumsum minus cumsum-before-segment
+        # (repeat, not accumulate-max: negative values make the
+        # per-segment bases non-monotonic)
+        cs = np.cumsum(units)
+        run_units = cs - np.repeat(cs[seg] - units[seg], lens)
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "run_cnt": pa.array(run_cnt, pa.int64()),
+            "run_units": pa.array(run_units, pa.int64())})
+
+    return (events_ds.select_columns([id_col, user_col, ts_col,
+                                      value_col])
+            .sort(user_col)
+            .map_batches(scan, batch_size=None, batch_format="pyarrow")
+            .sort(id_col))

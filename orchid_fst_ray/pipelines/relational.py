@@ -13,7 +13,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 __all__ = ["broadcast_join", "merge_join", "bloom_semijoin",
-           "bloom_antijoin", "customers_per_region"]
+           "bloom_antijoin", "rollup_aggregate",
+           "customers_per_region"]
 
 
 def broadcast_join(big_ds, small_table: pa.Table, keys,
@@ -292,3 +293,88 @@ def merge_join(left_ds, right_ds, on, join_type: str = "inner"):
 
     return u.map_batches(merge, batch_size=None,
                          batch_format="pyarrow")
+
+
+def rollup_aggregate(ds, keys: list, units_col: str,
+                     all_label: str = "ALL"):
+    """GROUPING-SETS rollup ``(k1, k2, …) → (k1, …) → () `` in ONE
+    pass over the data: the finest level takes the only data-sized
+    groupby (per-block Arrow partial counts first — the combiner
+    discipline), and every coarser level is derived from the FINEST
+    AGGREGATE, which is group-cardinality-sized, not data-sized.
+    Rolled-up key columns carry ``all_label``. Output:
+    ``(*keys, n_rows:int64, sum_units:int64)``, finest→coarsest,
+    each level sorted by its keys."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            t.select(keys + [units_col]), keys).aggregate(
+                [([], "count_all"), (units_col, "sum")])
+        cols = {k: agg[k].cast(pa.string()) for k in keys}
+        cols["n_rows"] = agg["count_all"].cast(pa.int64())
+        cols["sum_units"] = agg[f"{units_col}_sum"].cast(pa.int64())
+        return pa.table(cols)
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(keys)
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("sum_units", alias_name="sum_units"))
+              .map_batches(lambda t: pa.table(
+                  {k: t[k].cast(pa.string()) for k in keys}
+                  | {"n_rows": t["n_rows"].cast(pa.int64()),
+                     "sum_units": t["sum_units"].cast(pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())           # group-cardinality-sized
+
+    levels = [finest.sort(keys)]
+    src = finest
+    for lvl in range(len(keys) - 1, -1, -1):
+        kept = keys[:lvl]
+
+        def relabel(t: pa.Table, _kept=tuple(kept)) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k].cast(pa.string()) if k in _kept
+                           else pa.array([all_label] * t.num_rows,
+                                         pa.string()))
+            cols["n_rows"] = t["n_rows"].cast(pa.int64())
+            cols["sum_units"] = t["sum_units"].cast(pa.int64())
+            return pa.table(cols)
+
+        lvl_ds = src.map_batches(relabel, batch_format="pyarrow")
+        if kept:
+            lvl_ds = (lvl_ds.groupby(kept)
+                      .aggregate(Sum("n_rows", alias_name="n_rows"),
+                                 Sum("sum_units",
+                                     alias_name="sum_units"))
+                      .map_batches(lambda t, _kept=tuple(kept):
+                                   pa.table(
+                          {k: (t[k].cast(pa.string()) if k in _kept
+                               else pa.array([all_label] * t.num_rows,
+                                             pa.string()))
+                           for k in keys}
+                          | {"n_rows": t["n_rows"].cast(pa.int64()),
+                             "sum_units":
+                                 t["sum_units"].cast(pa.int64())}),
+                          batch_format="pyarrow")
+                      .sort(kept))
+        else:
+            # grand total: fold the (tiny) finest aggregate
+            import ray
+            tot_n = tot_s = 0
+            for part in ray.get(src.to_arrow_refs()):
+                if part.num_rows:
+                    import pyarrow.compute as pc
+                    tot_n += pc.sum(part["n_rows"]).as_py()
+                    tot_s += pc.sum(part["sum_units"]).as_py()
+            import ray.data
+            lvl_ds = ray.data.from_arrow(pa.table(
+                {k: pa.array([all_label], pa.string()) for k in keys}
+                | {"n_rows": pa.array([tot_n], pa.int64()),
+                   "sum_units": pa.array([tot_s], pa.int64())}))
+        levels.append(lvl_ds)
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.union(l)
+    return out
