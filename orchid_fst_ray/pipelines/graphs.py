@@ -66,17 +66,23 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = 1_000_000,
     # pressure, the driver never sees them
     edges_ds = edges_ds.materialize()
 
-    def deg_partial(t: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(t.select(["src"]), "src").aggregate(
-            [([], "count_all")])
-        return pa.table({"node": agg["src"].cast(pa.large_string()),
-                         "odeg": agg["count_all"].cast(pa.int64())})
-
-    def node_partial(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([
-            t["src"].combine_chunks().cast(pa.large_string()),
-            t["dst"].combine_chunks().cast(pa.large_string())])
-        return pa.table({"node": pc.unique(both)})
+    def state_partial(t: pa.Table) -> pa.Table:
+        """One pass builds BOTH the node list and the out-degrees:
+        every endpoint contributes a node row, src endpoints carry
+        odeg-weight 1, dst endpoints 0 — so the single groupby Sum
+        yields (node, odeg) with odeg=0 for pure sinks, replacing the
+        previous two-groupby + left-outer-merge-join setup (4 fewer
+        Dataset executions of pure fixed overhead per call)."""
+        src = t["src"].combine_chunks().cast(pa.large_string())
+        dst = t["dst"].combine_chunks().cast(pa.large_string())
+        agg = pa.TableGroupBy(pa.table({
+            "node": pa.concat_arrays([src, dst]),
+            "odeg": pa.array(np.concatenate([
+                np.ones(len(src), np.int64),
+                np.zeros(len(dst), np.int64)]))}),
+            "node").aggregate([("odeg", "sum")])
+        return pa.table({"node": agg["node"].cast(pa.large_string()),
+                         "odeg": agg["odeg_sum"].cast(pa.int64())})
 
     def _norm(cols):
         # Ray's groupby may hand back string OR large_string blocks;
@@ -87,25 +93,15 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = 1_000_000,
                 **{c: t[c].cast(pa.int64()) for c in cols}})
         return fn
 
-    odeg = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("odeg", alias_name="odeg"))
-            .map_batches(_norm(["odeg"]), batch_format="pyarrow"))
-    from ray.data.aggregate import Count
-    nodes = (edges_ds.map_batches(node_partial, batch_format="pyarrow")
-             .groupby("node").aggregate(Count(alias_name="__n"))
-             .drop_columns(["__n"])
-             .map_batches(_norm([]), batch_format="pyarrow"))
-
-    # (node, odeg) with odeg=0 for pure sinks — LEFT join via merge
-    state = merge_join(nodes, odeg, on="node", join_type="left outer")
-
     def init(t: pa.Table) -> pa.Table:
         return pa.table({
             "node": t["node"].cast(pa.large_string()),
             "rank": pa.array(np.full(t.num_rows, scale, np.int64)),
             "odeg": pc.fill_null(t["odeg"], 0).cast(pa.int64())})
 
-    state = state.map_batches(init, batch_format="pyarrow")
+    state = (edges_ds.map_batches(state_partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("odeg", alias_name="odeg"))
+             .map_batches(init, batch_format="pyarrow"))
 
     def contrib_partial(t: pa.Table, lookup=None) -> pa.Table:
         """edges (+rank/odeg of src) → per-block partial dst sums."""
