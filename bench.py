@@ -67,7 +67,7 @@ def run_er_bench(sf_dir: str) -> tuple[float, int, dict]:
     n = pages.count()
     t0 = time.time()
     res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
-                 scorer_concurrency=(2, max(2, NUM_CPUS // 4)))
+                 scorer_concurrency=(2, NUM_CPUS))
     by_entity: dict[str, set] = {}
     for b in res["assignment"].iter_batches(batch_format="pyarrow"):
         for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):
@@ -101,7 +101,7 @@ def run_scale_bench(n_pages: int = 100_000, barriers: bool = True) -> dict:
     # second run with stage barriers only to attribute wall per stage
     t0 = time.time()
     res = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
-                 scorer_concurrency=(2, max(2, NUM_CPUS // 4)),
+                 scorer_concurrency=(2, NUM_CPUS),
                  cluster_driver_threshold=0)
     n = res["assignment"].count()
     wall = time.time() - t0
@@ -111,7 +111,7 @@ def run_scale_bench(n_pages: int = 100_000, barriers: bool = True) -> dict:
     if barriers:
         t0 = time.time()
         res_m = run_er(pages, num_partitions=max(8, NUM_CPUS // 2),
-                       scorer_concurrency=(2, max(2, NUM_CPUS // 4)),
+                       scorer_concurrency=(2, NUM_CPUS),
                        cluster_driver_threshold=0, stage_metrics=True)
         res_m["assignment"].count()
         out["wall_sec_with_barriers"] = round(time.time() - t0, 2)
@@ -413,7 +413,7 @@ def _scaling_child(num_cpus: int) -> None:
     n = pages.count()
     t0 = time.time()
     res = run_er(pages, num_partitions=max(8, num_cpus // 2),
-                 scorer_concurrency=(2, max(2, num_cpus // 4)))
+                 scorer_concurrency=(2, num_cpus))
     rows = res["assignment"].count()
     wall = time.time() - t0
     print(json.dumps({"num_cpus": num_cpus, "wall_sec": round(wall, 3),

@@ -108,6 +108,12 @@ class ExtractNormalize:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        from orchid_fst_ray.stages.candidates import _clamp_arrow_pool
+        # one task, one core (see candidates._clamp_arrow_pool):
+        # Arrow's process-global thread pool otherwise fans this
+        # 1-CPU task onto every core the worker can see, making
+        # low-num_cpus sessions dishonest and thrashing full ones
+        _clamp_arrow_pool()
         pairs = [extract_text_title(h) for h in batch["html"].to_pylist()]
         texts = pa.array([p[0] for p in pairs], pa.large_string())
         titles = pa.array([p[1] for p in pairs], pa.large_string())

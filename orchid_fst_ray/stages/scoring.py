@@ -30,6 +30,16 @@ class PairScorer:
         try:
             import duckdb
             self._con = duckdb.connect()
+            # One actor, one core: DuckDB defaults to ALL hardware
+            # threads, so each pool actor silently fanned onto the
+            # whole machine — a 2-actor pool used 32 cores, which (a)
+            # oversubscribes the box when other stages run and (b)
+            # made ray.init(num_cpus=8) runs dishonest (the scoring
+            # stage ignored the CPU budget entirely; measured: the
+            # stage's wall was IDENTICAL at 8 and 32 Ray CPUs).
+            # Parallelism belongs to the actor pool, not the kernel —
+            # the same rule as stages/candidates._clamp_arrow_pool.
+            self._con.execute("SET threads TO 1")
         except Exception:  # pragma: no cover - duckdb is baked in
             self._con = None
 
