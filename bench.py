@@ -375,10 +375,53 @@ def main() -> None:
         else:
             out["cc_stress_10m"] = cc_runs[0]
     out["calibration_sec"]["after"] = _calibration()
-    print(json.dumps(out))
+    _emit(out)
     import ray
     if ray.is_initialized():
         ray.shutdown()
+
+
+DETAIL_PATH = os.environ.get(
+    "GRAFT_BENCH_DETAIL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_DETAIL.json"))
+
+
+def _emit(out: dict) -> None:
+    """Write the FULL result to DETAIL_PATH and print a COMPACT final
+    line. The driver records only the tail of stdout (~2 KB): round 4's
+    full JSON outgrew it and BENCH_r04.json landed with parsed:null —
+    per-query medians survived only in prose. The compact line keeps
+    every headline scalar + all per-query medians under the cap; runs,
+    spreads, stage breakdowns and quality detail live in the committed
+    detail file."""
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+        "sf": out["sf"],
+        "num_cpus": out["num_cpus"],
+        "n_pages": out.get("n_pages"),
+        "basis": out.get("basis"),
+        "entity_intact_rate": out.get("quality", {}).get(
+            "entity_intact_rate"),
+        "calib_sec": [out["calibration_sec"].get("before"),
+                      out["calibration_sec"].get("after")],
+        "detail_file": os.path.basename(DETAIL_PATH),
+    }
+    for key in ("scale_100k", "scale_250k", "scale_1m",
+                "cc_stress_10m"):
+        if key in out and isinstance(out[key], dict):
+            compact[key + "_sec"] = out[key].get("wall_sec")
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:     # stay under the driver's tail capture
+        compact["queries"] = {k: round(v, 1)
+                              for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 # 1M: after the round-4 speedups (int64 BSP, slice-replicated hot
@@ -527,7 +570,7 @@ def scaling(repeats: int = REPEATS) -> None:
                    "docs_per_sec_median": whi,
                    "runs": [r["docs_per_sec"] for r in weak_hi]},
         }
-    print(json.dumps({
+    full = {
         "metric": f"scaling_efficiency_{lo_cpu}_to_{hi_cpu}",
         "value": eff,
         "unit": "efficiency",
@@ -539,8 +582,24 @@ def scaling(repeats: int = REPEATS) -> None:
         "all_runs": all_runs,
         "bandwidth_ceiling_kernel_sec": _bandwidth_ceiling(),
         "weak_scaling": weak,
+        "n_pages": SCALING_PAGES,
         "sf": SF_DIR,
-    }))
+    }
+    detail = DETAIL_PATH.replace(".json", "_SCALING.json")
+    with open(detail, "w") as f:
+        json.dump(full, f, indent=1)
+    # compact final line only (same tail-capture constraint as main)
+    print(json.dumps({
+        "metric": full["metric"], "value": eff, "unit": "efficiency",
+        "basis": full["basis"],
+        "best_of_efficiency": full["best_of_efficiency"],
+        "docs_per_sec": {str(lo_cpu): med_lo, str(hi_cpu): med_hi},
+        "runs": {str(c): v for c, v in runs_by_cpu.items()},
+        "bandwidth_ceiling_kernel_sec":
+            full["bandwidth_ceiling_kernel_sec"],
+        "n_pages": SCALING_PAGES, "sf": SF_DIR,
+        "detail_file": os.path.basename(detail),
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -169,7 +169,11 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = 1_000_000,
             # gated state size); fold the partials driver-side with
             # searchsorted instead of paying a groupby sort exchange
             new_rank = np.full(len(keys_np), base, np.int64)
-            for part in ray.get(sums.to_arrow_refs()):
+            # ray.get ONE ref at a time: only a single node-bounded
+            # partial is ever resident on the driver (getting the full
+            # ref list at once would pin O(num_blocks × state) heap)
+            for part_ref in sums.to_arrow_refs():
+                part = ray.get(part_ref)
                 if part.num_rows == 0:
                     continue
                 pos = np.searchsorted(

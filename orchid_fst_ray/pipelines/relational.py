@@ -128,9 +128,16 @@ def bloom_antijoin(probe_ds, keys_ds, key: str, n_bits: int = 1 << 20,
     with zero shuffle; only the Bloom HITS — true matches plus the
     small false-positive stream — take the one co-locating
     ``left anti`` :func:`merge_join` exchange to decide which hits
-    were spurious. Exchange volume ≈ |true matches| + fp·|probe|."""
+    were spurious. Exchange volume ≈ |true matches| + fp·|probe|.
+
+    Unlike the semi-join (one consumer), this needs BOTH the hit and
+    miss streams, which are two lineages over ``probe_ds`` — so the
+    probe side is materialized ONCE into the object store first;
+    each stream then re-runs only the cheap per-row Bloom check over
+    the shared blocks, not the upstream read/transform plan."""
     hits, misses, keys_only = _bloom_split(
-        probe_ds, keys_ds, key, n_bits, n_hashes, keys_unique=True)
+        probe_ds.materialize(), keys_ds, key, n_bits, n_hashes,
+        keys_unique=True)
     rescued = merge_join(hits, keys_only, on=key,
                          join_type="left anti")
     return misses.union(rescued)

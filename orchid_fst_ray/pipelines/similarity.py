@@ -300,12 +300,18 @@ def knn_edges(ds, k: int = 3, vec_col: str = "embedding",
             self_pos = np.searchsorted(self.ids, bids)
             cos[np.arange(len(bids)), self_pos] = -np.inf
             nb = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-            src = np.repeat(bids, k)
+            src = np.repeat(bids, nb.shape[1])
             dst = self.ids[nb.ravel()]
+            # when k >= n the -inf self column is still selected into
+            # the top-k slice; drop self-loops so a < b always holds
+            keep = src != dst
+            src, dst = src[keep], dst[keep]
             a = np.minimum(src, dst)
             b = np.maximum(src, dst)
             # block-local dedup; cross-block repeats collapse below
-            if len(a) and int(b.max()) < (1 << 31):
+            # (packed-key shortcut needs BOTH bounds: a negative id
+            # sign-extends in (a << 32) | b and collides keys)
+            if len(a) and int(a.min()) >= 0 and int(b.max()) < (1 << 31):
                 key = (a << np.int64(32)) | b
                 _, first = np.unique(key, return_index=True)
             else:      # id range too wide for the packed-key shortcut

@@ -181,6 +181,30 @@ def test_knn_edges_matches_numpy(ray_session):
     assert len(got) == len(want)          # distinct
 
 
+def test_knn_edges_negative_ids_and_k_ge_n(ray_session):
+    """Negative ids must not collide in the packed-key dedup (they
+    sign-extend in (a << 32) | b), and k >= n must not emit the
+    -inf self column as an a == b self-loop."""
+    import ray.data as rd
+    from orchid_fst_ray.pipelines.similarity import knn_edges
+    rng = np.random.default_rng(9)
+    n = 6
+    vecs = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    ids = [-3, -1, 0, 2, 5, 7]
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    # k >= n: every non-self pair becomes an edge, no self-loops
+    got = knn_edges(rd.from_arrow(tbl).repartition(2), k=n + 2
+                    ).to_pandas()
+    assert (got["a"] < got["b"]).all()
+    want = {(min(a, b), max(a, b))
+            for i, a in enumerate(ids) for b in ids[i + 1:]}
+    assert set(zip(got["a"], got["b"])) == want
+    assert len(got) == len(want)
+
+
 def test_knn_edges_gate(ray_session):
     import ray.data as rd
     from orchid_fst_ray.pipelines.similarity import knn_edges
