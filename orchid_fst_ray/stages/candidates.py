@@ -809,11 +809,21 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                     for blk, nn in block_sizes.items()}
 
     def add_shard(t: pa.Table) -> pa.Table:
-        from zlib import crc32
-        blocks = t[block_col].to_pylist()
-        keys_l = t[key_col].to_pylist()
-        shard = [crc32(k.encode()) % shard_counts.get(blk, 1)
-                 for blk, k in zip(blocks, keys_l)]
+        # Vectorized routing: any stable hash works here — shard
+        # membership only affects task grouping, never the pairs
+        # output (same key → same shard keeps the key→id maps whole;
+        # test_shard_layout_invariance pins output identity across
+        # layouts). Runs on the HOTTEST hosts, so per-row Python (the
+        # old zlib.crc32 comprehension) multiplied by exactly the
+        # largest row groups in the corpus.
+        from orchid_fst_ray.functions.hashing import hash64
+        h = hash64(t[key_col])
+        benc = t[block_col].combine_chunks().dictionary_encode()
+        mods = np.array([shard_counts.get(b, 1)
+                         for b in benc.dictionary.to_pylist()],
+                        dtype=np.uint64)
+        codes = benc.indices.to_numpy(zero_copy_only=False)
+        shard = (h % mods[codes]).astype(np.int32)
         return t.append_column("shard", pa.array(shard, pa.int32()))
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
@@ -901,26 +911,56 @@ def generate_hot_candidates(hot_docs, d: int = 2, damerau: bool = False,
                         pa.ipc.open_stream(pa.BufferReader(ib))
                         .read_all())
                     decoded.append(Fst.from_bytes(fb))
+                import pyarrow.compute as pc
                 allt = pa.concat_tables(shard_tables)
-                keys_np = np.asarray(allt.column(0).to_pylist(),
-                                     dtype=object)
-                ids_np = np.asarray(allt.column(1).to_pylist(),
-                                    dtype=object)
                 # shards are each (key, id)-sorted; the union needs
-                # one global lexsort so the CSR runs are contiguous
-                order = np.lexsort((ids_np, keys_np))
-                keys_np, flat_ids = keys_np[order], ids_np[order]
-                keys_sorted, id_counts = np.unique(keys_np,
-                                                   return_counts=True)
-                id_counts = id_counts.astype(np.int64)
-                id_offsets = np.concatenate(
-                    ([0], np.cumsum(id_counts)[:-1])).astype(np.int64)
+                # one global sort so the CSR runs are contiguous.
+                # Arrow-native throughout: C++ sort + run-end
+                # detection instead of np.lexsort/np.unique over
+                # object arrays — every pool actor pays this decode
+                # per blob in __init__, so per-element Python here
+                # multiplied by pool size. UTF-8 byte order equals
+                # codepoint order, so Arrow's sort ranks agree with
+                # the numpy <U / object comparisons used downstream.
+                allt = allt.take(pc.sort_indices(
+                    allt, sort_keys=[(allt.schema.names[0], "ascending"),
+                                     (allt.schema.names[1], "ascending")]))
+                keys_col = allt.column(0).combine_chunks()
+                flat_ids = allt.column(1).combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                n_rows = len(keys_col)
+                if n_rows:
+                    neq = pc.not_equal(
+                        keys_col.slice(1),
+                        keys_col.slice(0, n_rows - 1)).to_numpy(
+                            zero_copy_only=False)
+                    bounds = np.concatenate(
+                        ([0], np.flatnonzero(neq) + 1, [n_rows]))
+                else:
+                    bounds = np.zeros(1, np.int64)
+                keys_sorted = keys_col.take(
+                    pa.array(bounds[:-1], pa.int64())).to_numpy(
+                        zero_copy_only=False)
+                id_counts = np.diff(bounds).astype(np.int64)
+                id_offsets = bounds[:-1].astype(np.int64)
                 self.index[blk] = (keys_sorted, id_counts, id_offsets,
                                    flat_ids)
                 shards = []
                 for fst, st in zip(decoded, shard_tables):
-                    sk = np.unique(np.asarray(st.column(0).to_pylist(),
-                                              dtype=object))
+                    skc = st.column(0).combine_chunks()
+                    m = len(skc)
+                    if m:
+                        sneq = pc.not_equal(
+                            skc.slice(1),
+                            skc.slice(0, m - 1)).to_numpy(
+                                zero_copy_only=False)
+                        sb = np.concatenate(
+                            ([0], np.flatnonzero(sneq) + 1))
+                        sk = skc.take(
+                            pa.array(sb, pa.int64())).to_numpy(
+                                zero_copy_only=False)
+                    else:
+                        sk = np.zeros(0, dtype=object)
                     shards.append((fst, sk,
                                    np.searchsorted(keys_sorted, sk)
                                    if len(sk) else np.zeros(0, np.int64)))

@@ -173,6 +173,37 @@ def test_hot_candidates_driver_holds_refs_not_blobs():
     assert ["d"] in packs  # 200 > cap → its own group
 
 
+def test_shard_layout_invariance(ray_session, fixture):
+    """Pairs output must be IDENTICAL however keys scatter across
+    shards: the routing hash only decides task grouping (same key →
+    same shard keeps the key→id maps whole; disjointness and the
+    cap-across-shards budget are layout-free). Pins the vectorized
+    hash64 routing against any future hash swap: shard_rows=2 forces
+    many shards per block, shard_rows=1<<30 forces one."""
+    import ray.data as rd
+    from orchid_fst_ray.stages.candidates import generate_hot_candidates
+    from orchid_fst_ray.stages.extract import ExtractNormalize
+    pages = rd.from_arrow(fixture["pages"]).repartition(4)
+    docs = (pages.map_batches(ExtractNormalize(), batch_format="pyarrow")
+            .select_columns(["url", "doc_key", "host"]).materialize())
+
+    def pair_set(ds):
+        out = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out |= set(zip(b["url_a"].to_pylist(),
+                           b["url_b"].to_pylist()))
+        return out
+
+    one = pair_set(generate_hot_candidates(
+        docs, d=2, damerau=True, shard_rows=1 << 30,
+        probe_concurrency=(1, 2)))
+    many = pair_set(generate_hot_candidates(
+        docs, d=2, damerau=True, shard_rows=2,
+        probe_concurrency=(1, 2)))
+    assert many == one
+    assert len(one) > 0
+
+
 def test_checkpoint_resume(ray_session, fixture, tmp_path):
     import ray.data as rd
     pages = rd.from_arrow(fixture["pages"]).repartition(4)
