@@ -720,6 +720,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "lang", "text"])
         return write_partitioned(docs, root, by_col="lang")
 
+    def events_lag_lead(sf_dir: str):
+        """LAG/LEAD/ROW_NUMBER window pack per user ordered by
+        (ts, event_id): exact µs gaps to the previous/next event, -1
+        sentinel at partition bounds (events.lag_lead_gaps)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import lag_lead_gaps
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        return lag_lead_gaps(ev)
+
+    def events_funnel(sf_dir: str):
+        """Ordered min-timestamp funnel view→click→purchase: users
+        reaching each step with strictly-increasing timestamps; blocks
+        emit constant-size partial counts (events.funnel_depths)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import funnel_depths
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+        return funnel_depths(ev)
+
+    def lineitem_cube(sf_dir: str):
+        """GROUP BY CUBE (returnflag, linestatus): all 4 grouping sets
+        in one data-sized pass — the 3 coarser sets derive from the
+        finest aggregate (relational.cube_aggregate)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.relational import cube_aggregate
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "l_returnflag": t["l_returnflag"].cast(pa.string()),
+                "l_linestatus": t["l_linestatus"].cast(pa.string()),
+                "qty_units": pc.cast(pc.floor(pc.cast(
+                    t["l_quantity"], pa.float64())), pa.int64())})
+
+        return cube_aggregate(
+            li.map_batches(prep, batch_format="pyarrow"),
+            keys=["l_returnflag", "l_linestatus"],
+            units_col="qty_units")
+
+    def doc_length_extremes(sf_dir: str):
+        """Per-lang length-tail outliers (strictly below p10 / above
+        p90, exact nearest-rank quantiles): the first quality gate on
+        a web corpus — group-cardinality bounds broadcast, one
+        streaming filter pass (analytics.length_extremes)."""
+        from orchid_fst_ray.pipelines.analytics import length_extremes
+        return length_extremes(_docs_meta(sf_dir))
+
+    def tfidf_pairs_q(sf_dir: str):
+        """Sparse similarity join: top-50 doc pairs by integer TF-IDF
+        dot product over the shared-token inverted index, df-capped
+        fan-out (similarity.tfidf_pairs)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.similarity import tfidf_pairs
+        docs = _docs(sf_dir)
+        n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]).count()
+        return tfidf_pairs(docs, n_docs)
+
+    def dup_gram_stats_q(sf_dir: str):
+        """ExactSubstr-lite: per-doc count of 5-token windows whose
+        gram occurs in ≥1 other document — the within-corpus
+        duplicated-span signal (textstats.dup_gram_stats)."""
+        return textstats.dup_gram_stats(_docs(sf_dir), k=5)
+
+    def blocked_jw_scores(sf_dir: str):
+        """Standalone blocking + Jaro-Winkler pair scoring over
+        documents: (lang, n_chars//64) blocking key, vectorized
+        triangular pair expansion with a max-block cap, DuckDB-kernel
+        jw in an actor pool — the ER scorer surfaced as a first-class
+        query (er.blocked_pair_scores)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.er import blocked_pair_scores
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang",
+                                        "n_chars"])
+        return blocked_pair_scores(docs)
+
     def knn_triangles(sf_dir: str):
         """k-NN graph (k=3 cosine neighbors per embedding) → distributed
         degree-ordered triangle count: one row of exact integer graph
@@ -949,6 +1031,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": events_running,
         "repetition_stats": repetition_stats,
         "partitioned_write": partitioned_write,
+        # round-5 additions (keep inside the driver's 50-row window)
+        "events_lag_lead": events_lag_lead,
+        "events_funnel": events_funnel,
+        "lineitem_cube": lineitem_cube,
+        "doc_length_extremes": doc_length_extremes,
+        "tfidf_pairs": tfidf_pairs_q,
+        "dup_gram_stats": dup_gram_stats_q,
+        "blocked_jw_scores": blocked_jw_scores,
         # --- analytics / sketches / joins ---
         "heavy_hitters": heavy_hitters,
         "approx_distinct_tokens": approx_distinct_tokens,
@@ -2134,6 +2224,136 @@ def oracle_sql() -> dict[str, str]:
                                      WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
         "kmeans_embeddings": _kmeans_sql(k=8, iters=2),
+        "events_lag_lead": """
+            SELECT event_id, user_id,
+                   row_number() OVER w::BIGINT AS row_num,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w,
+                            -1)::BIGINT AS prev_gap_us,
+                   coalesce(lead(epoch_us(ts)) OVER w - epoch_us(ts),
+                            -1)::BIGINT AS next_gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id""",
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY e.user_id)
+            SELECT * FROM (VALUES
+              (1::BIGINT, 'view',
+               (SELECT count(*)::BIGINT FROM s1)),
+              (2::BIGINT, 'click',
+               (SELECT count(*)::BIGINT FROM s2)),
+              (3::BIGINT, 'purchase',
+               (SELECT count(*)::BIGINT FROM s3)))
+              AS t(step, step_type, n_users)
+            ORDER BY step""",
+        "lineitem_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT
+                       AS sum_units
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
+        "doc_length_extremes": """
+            -- nearest-rank p10/p90 per lang, INTEGER ceil rank
+            -- (num*n + den - 1) // den, same as doc_length_quantiles
+            WITH r AS (
+              SELECT lang, n_chars::BIGINT AS v,
+                     row_number() OVER (
+                         PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents),
+            b AS (SELECT lang,
+                    MAX(CASE WHEN rn = (1*n + 9) // 10 THEN v END) AS lo,
+                    MAX(CASE WHEN rn = (9*n + 9) // 10 THEN v END) AS hi
+                  FROM r GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars::BIGINT AS value,
+                   CASE WHEN d.n_chars < b.lo THEN 'low'
+                        ELSE 'high' END AS side
+            FROM documents d JOIN b ON d.lang = b.lang
+            WHERE d.n_chars < b.lo OR d.n_chars > b.hi
+            ORDER BY doc_id""",
+        "tfidf_pairs": """
+            -- integer TF-IDF: w = tf * ((N*1000) // df), stopword cap
+            -- df <= 32 bounds the inverted-index pair fan-out
+            WITH tf AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS tok
+                FROM documents) GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*)::BIGINT AS df FROM tf
+                   GROUP BY tok),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            w AS (SELECT tf.doc_id, tf.tok,
+                         tf.tf * ((n.n * 1000) // df.df) AS w
+                  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+                  WHERE df.df BETWEEN 2 AND 32)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(a.w * b.w)::BIGINT AS dot
+            FROM w a JOIN w b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY dot DESC, doc_a, doc_b LIMIT 50""",
+        "dup_gram_stats": """
+            WITH base AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(
+                       lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(l) AS tok,
+                            generate_subscripts(l, 1) AS pos
+                     FROM base),
+            g AS (SELECT doc_id,
+                    tok || ' ' || lead(tok, 1) OVER w
+                        || ' ' || lead(tok, 2) OVER w
+                        || ' ' || lead(tok, 3) OVER w
+                        || ' ' || lead(tok, 4) OVER w AS gram
+                  FROM toks
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            gg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+            nd AS (SELECT gram, count(DISTINCT doc_id) AS ndoc
+                   FROM gg GROUP BY gram),
+            ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+                   FROM gg GROUP BY doc_id),
+            ndup AS (SELECT gg.doc_id, count(*)::BIGINT AS n_dup
+                     FROM gg JOIN nd ON gg.gram = nd.gram
+                     WHERE nd.ndoc >= 2 GROUP BY gg.doc_id)
+            SELECT d.doc_id,
+                   coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(ndup.n_dup, 0)::BIGINT AS n_dup
+            FROM documents d
+            LEFT JOIN ng USING (doc_id) LEFT JOIN ndup USING (doc_id)
+            ORDER BY d.doc_id""",
+        "blocked_jw_scores": """
+            -- same-block (lang, n_chars//64) pairs scored by DuckDB's
+            -- jaro_winkler kernel over the first 40 chars; blocks
+            -- larger than 256 rows are skipped (degenerate-key cap)
+            WITH k AS (
+              SELECT doc_id,
+                     lang || '|' || CAST(n_chars // 64 AS VARCHAR)
+                         AS block,
+                     substr(text, 1, 40) AS key
+              FROM documents),
+            sz AS (SELECT block, count(*) AS n FROM k GROUP BY block),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(floor(1000000 * jaro_winkler_similarity(
+                          a.key, b.key)) AS BIGINT) AS jw_ppm
+              FROM k a JOIN k b
+                ON a.block = b.block AND a.doc_id < b.doc_id
+              JOIN sz ON sz.block = a.block AND sz.n <= 256)
+            SELECT doc_a, doc_b, jw_ppm FROM p
+            WHERE jw_ppm >= 850000
+            ORDER BY doc_a, doc_b""",
         "lineitem_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,

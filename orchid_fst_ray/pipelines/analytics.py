@@ -24,7 +24,7 @@ from orchid_fst_ray.pipelines.textstats import _explode_tokens
 
 __all__ = ["hll_token_registers", "hll_shingle_registers",
            "hll_estimate", "grouped_quantiles", "inverted_index",
-           "heavy_hitters", "bit_length_u64"]
+           "heavy_hitters", "bit_length_u64", "length_extremes"]
 
 
 def bit_length_u64(w: np.ndarray) -> np.ndarray:
@@ -231,6 +231,64 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     return (counts.repartition(1)
             .map_batches(pick, batch_size=None, batch_format="pyarrow")
             .sort([group_col, "q"]))
+
+
+def length_extremes(ds, group_col: str = "lang",
+                    value_col: str = "n_chars", id_col: str = "doc_id",
+                    lo=(1, 10), hi=(9, 10)):
+    """Per-group tail outliers → ``(doc_id, group, value:int64,
+    side:string)``: rows whose value falls STRICTLY below the group's
+    ``lo`` quantile or strictly above its ``hi`` quantile (exact
+    nearest-rank quantiles, same integer-ceil definition as
+    :func:`grouped_quantiles` so the SQL replay hash-matches). The
+    length-tail filter is the standard first quality gate on a web
+    corpus (truncated boilerplate below, concatenation junk above).
+
+    100 TB shape: the per-group bound table is GROUP-CARDINALITY-sized
+    (two ints per group), computed by the grouped_quantiles pass and
+    broadcast via ``ray.put`` — the data-sized side is ONE pruned
+    streaming filter pass, no shuffle."""
+    import ray
+
+    qds = grouped_quantiles(ds, group_col, value_col,
+                            quantiles=(lo, hi))
+    lo_lab = f"p{100 * lo[0] // lo[1]:02d}"
+    bounds: dict[str, list] = {}
+    for b in qds.iter_batches(batch_format="pyarrow"):
+        for g, q, v in zip(b[group_col].to_pylist(),
+                           b["q"].to_pylist(), b["value"].to_pylist()):
+            bounds.setdefault(g, [None, None])[0 if q == lo_lab else 1] = v
+    ref = ray.put(bounds)
+
+    class Flag:
+        def __init__(self, ref):
+            self.bounds = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            g = t[group_col].combine_chunks()
+            v = t[value_col].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            enc = g.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            dlo = np.array([self.bounds[s.as_py()][0]
+                            for s in enc.dictionary], np.int64)
+            dhi = np.array([self.bounds[s.as_py()][1]
+                            for s in enc.dictionary], np.int64)
+            low = v < dlo[codes]
+            high = v > dhi[codes]
+            keep = low | high
+            side = np.where(low, "low", "high")
+            idx = np.flatnonzero(keep)
+            return pa.table({
+                id_col: t[id_col].take(pa.array(idx)).cast(pa.int64()),
+                group_col: g.take(pa.array(idx)),
+                "value": pa.array(v[idx], pa.int64()),
+                "side": pa.array(side[idx], pa.string())})
+
+    return (ds.select_columns([id_col, group_col, value_col])
+            .map_batches(Flag, fn_constructor_args=(ref,),
+                         concurrency=(1, 8), batch_format="pyarrow")
+            .sort(id_col))
 
 
 def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -26,7 +26,8 @@ from orchid_fst_ray.stages.extract import EXTRACTOR_VERSION, ExtractNormalize
 from orchid_fst_ray.stages.scoring import score_pairs
 from orchid_fst_ray.state.checkpoint import CheckpointStore
 
-__all__ = ["run_er", "evaluate_pairs", "assignment_from_components"]
+__all__ = ["run_er", "evaluate_pairs", "assignment_from_components",
+           "blocked_pair_scores"]
 
 CONFIG_VERSION = "er-v1"
 
@@ -177,3 +178,109 @@ def evaluate_pairs(assignment: dict[str, str], labeled_pairs: pa.Table) -> dict:
           if precision + recall else 0.0)
     return {"tp": tp, "fp": fp, "fn": fn, "tn": tn,
             "precision": precision, "recall": recall, "f1": f1}
+
+
+def blocked_pair_scores(docs_ds, id_col: str = "doc_id",
+                        text_col: str = "text", lang_col: str = "lang",
+                        len_col: str = "n_chars", bucket: int = 64,
+                        key_chars: int = 40, max_block: int = 256,
+                        min_jw_ppm: int = 850_000):
+    """Standalone blocking + Jaro-Winkler scoring over the documents
+    table → ``(doc_a, doc_b, jw_ppm:int64)``: pairs sharing the
+    ``(lang, n_chars // bucket)`` blocking key whose first
+    ``key_chars`` characters score ``jw ≥ min_jw_ppm / 1e6``,
+    ``doc_a < doc_b``. ``jw_ppm = floor(1e6 · jw)`` is computed by the
+    SAME DuckDB kernel the ER scorer uses (``stages/scoring.py``), so
+    the SQL oracle replays it bit-for-bit — double in, double out.
+
+    100 TB shape: pair generation is the classic blocked self-join —
+    one co-locating sort on the block key, then a vectorized
+    triangular expansion per block (the ``range_join_window``
+    repeat/cumsum construction); blocks larger than ``max_block`` rows
+    are SKIPPED on both the engine and oracle side (a degenerate
+    blocking key would otherwise go quadratic — the same cap
+    discipline as ``tfidf_pairs``'s ``max_df``). Scoring runs in a
+    stateful actor pool (DuckDB connection built once per actor,
+    pinned to one thread)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    def keyed(t: pa.Table) -> pa.Table:
+        bkt = pc.cast(pc.floor(pc.divide(
+            pc.cast(t[len_col], pa.float64()), bucket)), pa.int64())
+        blk = pc.binary_join_element_wise(
+            pc.cast(t[lang_col], pa.string()),
+            pc.cast(bkt, pa.string()), "|")
+        return pa.table({
+            "block": blk,
+            id_col: t[id_col].cast(pa.int64()),
+            "key": pc.utf8_slice_codeunits(
+                pc.cast(t[text_col], pa.string()), 0, key_chars)})
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "key_a": pa.array([], pa.string()),
+                          "key_b": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        blk = t["block"].combine_chunks()
+        codes = blk.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        keys = t["key"].take(pa.array(order))
+        n = len(codes)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        lens = np.diff(np.concatenate((seg, [n])))
+        ok_row = np.repeat(lens <= max_block, lens)
+        seg_end = np.repeat(seg + lens, lens)
+        rights = np.where(ok_row, seg_end - np.arange(n) - 1, 0)
+        total = int(rights.sum())
+        if total == 0:
+            return empty
+        rep_left = np.repeat(np.arange(n), rights)
+        offsets = np.concatenate(([0], np.cumsum(rights)[:-1]))
+        within = np.arange(total) - np.repeat(offsets, rights)
+        right = rep_left + 1 + within
+        return pa.table({
+            "doc_a": pa.array(ids[rep_left], pa.int64()),
+            "doc_b": pa.array(ids[right], pa.int64()),
+            "key_a": keys.take(pa.array(rep_left)).cast(pa.string()),
+            "key_b": keys.take(pa.array(right)).cast(pa.string())})
+
+    class JwScore:
+        def __init__(self) -> None:
+            import duckdb
+            self._con = duckdb.connect()
+            self._con.execute("SET threads TO 1")   # one actor, one core
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "jw_ppm": pa.array([], pa.int64())})
+            out = self._con.execute(
+                """
+                SELECT doc_a, doc_b,
+                       CAST(floor(1000000 *
+                            jaro_winkler_similarity(key_a, key_b))
+                            AS BIGINT) AS jw_ppm
+                FROM batch
+                """).arrow()
+            return out.filter(
+                pc.greater_equal(out["jw_ppm"], min_jw_ppm)).combine_chunks()
+
+    return (docs_ds.select_columns([id_col, text_col, lang_col,
+                                    len_col])
+            .map_batches(keyed, batch_format="pyarrow")
+            .sort("block")
+            .map_batches(expand, batch_size=None,
+                         batch_format="pyarrow")
+            .map_batches(JwScore, concurrency=(1, 8), num_cpus=1,
+                         batch_format="pyarrow")
+            .sort(["doc_a", "doc_b"]))

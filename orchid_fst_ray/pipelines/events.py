@@ -13,7 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["running_totals", "tumbling_window_stats", "sessionize",
-           "asof_join_prior", "range_join_window", "top_k_per_user"]
+           "asof_join_prior", "range_join_window", "top_k_per_user",
+           "lag_lead_gaps", "funnel_depths"]
 
 
 def _i64(col, dtype="int64"):
@@ -358,3 +359,135 @@ def running_totals(events_ds, user_col: str = "user_id",
             .sort(user_col)
             .map_batches(scan, batch_size=None, batch_format="pyarrow")
             .sort(id_col))
+
+
+def lag_lead_gaps(events_ds, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id"):
+    """→ (event_id, user_id, row_num, prev_gap_us, next_gap_us): the
+    LAG/LEAD/ROW_NUMBER window pack over ``PARTITION BY user ORDER BY
+    (ts, event_id)``. Gaps are exact int64 microseconds to the
+    previous/next event of the SAME user; boundary rows (a user's
+    first/last event) carry the ``-1`` sentinel instead of NULL so the
+    whole result stays integer-exact for the oracle hash.
+
+    Same per-group shape as :func:`running_totals`: one range sort on
+    the user key ALONE (keeps each user whole in one block), then a
+    vectorized per-block lexsort + shifted-difference scan — no
+    per-row Python, no second shuffle beyond the final presentation
+    sort on event_id."""
+    import numpy as np
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "row_num": pa.array([], pa.int64()),
+                "prev_gap_us": pa.array([], pa.int64()),
+                "next_gap_us": pa.array([], pa.int64())})
+        users = _i64(t[user_col])
+        tsv = _i64(t[ts_col].cast(pa.int64()))
+        ids = _i64(t[id_col])
+        order = np.lexsort((ids, tsv, users))
+        users, tsv, ids = users[order], tsv[order], ids[order]
+        n = len(users)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(users[1:] != users[:-1]) + 1))
+        lens = np.diff(np.concatenate((seg, [n])))
+        row_num = (np.arange(n, dtype=np.int64)
+                   - np.repeat(seg, lens) + 1)
+        prev_gap = np.empty(n, np.int64)
+        prev_gap[1:] = tsv[1:] - tsv[:-1]
+        prev_gap[seg] = -1                       # user's first event
+        next_gap = np.empty(n, np.int64)
+        next_gap[:-1] = tsv[1:] - tsv[:-1]
+        next_gap[seg + lens - 1] = -1            # user's last event
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "row_num": pa.array(row_num, pa.int64()),
+            "prev_gap_us": pa.array(prev_gap, pa.int64()),
+            "next_gap_us": pa.array(next_gap, pa.int64())})
+
+    return (events_ds.select_columns([id_col, user_col, ts_col])
+            .sort(user_col)
+            .map_batches(scan, batch_size=None, batch_format="pyarrow")
+            .sort(id_col))
+
+
+def funnel_depths(events_ds, steps=("view", "click", "purchase"),
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type"):
+    """Ordered-funnel analysis → one row per step:
+    ``(step:int64 1-based, step_type, n_users)`` where ``n_users``
+    counts users who reached that step: a user reaches step ``i`` if
+    an event of type ``steps[i]`` exists STRICTLY AFTER the earliest
+    qualifying step-``i-1`` event (the classic min-timestamp funnel;
+    equal timestamps do NOT advance the funnel, matching the SQL
+    ``ts > prev`` replay).
+
+    100 TB shape: rows are filtered to the step types at the read,
+    one range sort on the user key co-locates each user, and every
+    block resolves ALL its users' funnels in ``len(steps)`` vectorized
+    masked segment-min passes (``np.minimum.reduceat``). The block
+    emits only ``len(steps)`` partial counts, so the final aggregate
+    is a constant-size groupby — no per-user rows ever shuffle."""
+    import numpy as np
+
+    steps = list(steps)
+    k = len(steps)
+    SENT = np.iinfo(np.int64).max                # "not reached"
+
+    def keep(t: pa.Table) -> pa.Table:
+        # index_in does filter + encode in one vectorized pass:
+        # non-step types map to null, dropped by the filter
+        codes = pc.index_in(t[type_col], value_set=pa.array(steps))
+        t = t.append_column("step_code", codes.cast(pa.int8()))
+        t = t.filter(pc.is_valid(t["step_code"]))
+        return pa.table({user_col: t[user_col],
+                         "ts_us": t[ts_col].cast(pa.int64()),
+                         "step_code": t["step_code"]})
+
+    def count_depths(t: pa.Table) -> pa.Table:
+        out_step = pa.array(np.arange(1, k + 1), pa.int64())
+        out_type = pa.array(steps, pa.string())
+        if t.num_rows == 0:
+            return pa.table({"step": out_step, "step_type": out_type,
+                             "n_users": pa.array([0] * k, pa.int64())})
+        users = _i64(t[user_col])
+        tsv = _i64(t["ts_us"])
+        codes = _i64(t["step_code"])
+        order = np.lexsort((tsv, users))
+        users, tsv, codes = users[order], tsv[order], codes[order]
+        n = len(users)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(users[1:] != users[:-1]) + 1))
+        lens = np.diff(np.concatenate((seg, [n])))
+        reached = np.full(len(seg), np.iinfo(np.int64).min, np.int64)
+        counts = np.zeros(k, np.int64)
+        for i in range(k):
+            # earliest step-i event strictly after the user's step-i-1
+            # time; masked rows poisoned to SENT so reduceat's min
+            # ignores them (a user with no qualifying row stays SENT)
+            cand = np.where(
+                (codes == i) & (tsv > np.repeat(reached, lens)),
+                tsv, SENT)
+            reached = np.minimum.reduceat(cand, seg)
+            counts[i] = int((reached != SENT).sum())
+        return pa.table({"step": out_step, "step_type": out_type,
+                         "n_users": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (events_ds.select_columns([user_col, ts_col, type_col])
+            .map_batches(keep, batch_format="pyarrow")
+            .sort(user_col)
+            .map_batches(count_depths, batch_size=None,
+                         batch_format="pyarrow")
+            .groupby(["step", "step_type"])
+            .aggregate(Sum("n_users", alias_name="n_users"))
+            .map_batches(lambda t: pa.table({
+                "step": t["step"].cast(pa.int64()),
+                "step_type": t["step_type"].cast(pa.string()),
+                "n_users": t["n_users"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            .sort("step"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 __all__ = ["broadcast_join", "merge_join", "bloom_semijoin",
+           "cube_aggregate",
            "bloom_antijoin", "rollup_aggregate",
            "customers_per_region"]
 
@@ -312,6 +313,39 @@ def rollup_aggregate(ds, keys: list, units_col: str,
     Rolled-up key columns carry ``all_label``. Output:
     ``(*keys, n_rows:int64, sum_units:int64)``, finest→coarsest,
     each level sorted by its keys."""
+    finest = _finest_aggregate(ds, keys, units_col)
+    return _grouping_sets(
+        finest, keys,
+        [tuple(keys[:lvl]) for lvl in range(len(keys) - 1, -1, -1)],
+        all_label)
+
+
+def cube_aggregate(ds, keys: list, units_col: str,
+                   all_label: str = "ALL"):
+    """GROUP BY CUBE over ``keys`` — every one of the ``2**k``
+    grouping sets — with the same one-data-pass discipline as
+    :func:`rollup_aggregate`: the finest level takes the only
+    data-sized groupby, and each of the ``2**k - 1`` coarser sets is
+    derived from the FINEST AGGREGATE (group-cardinality-sized).
+    Output schema matches rollup: ``(*keys, n_rows, sum_units)`` with
+    rolled-up key columns carrying ``all_label``."""
+    if len(keys) > 4:
+        raise ValueError("cube over >4 keys explodes to >16 sets; "
+                         "pick a rollup or explicit grouping sets")
+    finest = _finest_aggregate(ds, keys, units_col)
+    # all proper subsets, richest first, key order preserved
+    subsets = sorted(
+        (tuple(k for i, k in enumerate(keys) if mask & (1 << i))
+         for mask in range((1 << len(keys)) - 2, -1, -1)),
+        key=len, reverse=True)
+    return _grouping_sets(finest, keys, subsets, all_label)
+
+
+def _finest_aggregate(ds, keys, units_col):
+    """(count, sum) per full key tuple — the single data-sized pass
+    shared by rollup and cube: per-block Arrow partial aggregates
+    (the combiner discipline) ahead of one groupby shuffle over the
+    bounded group-key space."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -323,21 +357,27 @@ def rollup_aggregate(ds, keys: list, units_col: str,
         cols["sum_units"] = agg[f"{units_col}_sum"].cast(pa.int64())
         return pa.table(cols)
 
-    finest = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(keys)
-              .aggregate(Sum("n_rows", alias_name="n_rows"),
-                         Sum("sum_units", alias_name="sum_units"))
-              .map_batches(lambda t: pa.table(
-                  {k: t[k].cast(pa.string()) for k in keys}
-                  | {"n_rows": t["n_rows"].cast(pa.int64()),
-                     "sum_units": t["sum_units"].cast(pa.int64())}),
-                  batch_format="pyarrow")
-              .materialize())           # group-cardinality-sized
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys)
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_units", alias_name="sum_units"))
+            .map_batches(lambda t: pa.table(
+                {k: t[k].cast(pa.string()) for k in keys}
+                | {"n_rows": t["n_rows"].cast(pa.int64()),
+                   "sum_units": t["sum_units"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            .materialize())           # group-cardinality-sized
+
+
+def _grouping_sets(finest, keys, subsets, all_label):
+    """Union the finest aggregate with one derived level per subset
+    (each a groupby over the group-cardinality-sized finest table)."""
+    from ray.data.aggregate import Sum
 
     levels = [finest.sort(keys)]
     src = finest
-    for lvl in range(len(keys) - 1, -1, -1):
-        kept = keys[:lvl]
+    for kept in subsets:
+        kept = list(kept)
 
         def relabel(t: pa.Table, _kept=tuple(kept)) -> pa.Table:
             cols = {}

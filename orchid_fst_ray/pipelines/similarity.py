@@ -22,7 +22,8 @@ import pyarrow as pa
 
 from orchid_fst_ray.pipelines.dedup import _vec_matrix
 
-__all__ = ["ann_topk", "lsh_ann_topk", "ivf_ann_topk", "collect_queries", "knn_edges"]
+__all__ = ["ann_topk", "lsh_ann_topk", "ivf_ann_topk", "collect_queries",
+           "knn_edges", "tfidf_pairs"]
 
 
 def collect_queries(ds, query_ids: list[int], vec_col: str = "embedding",
@@ -334,3 +335,103 @@ def knn_edges(ds, k: int = 3, vec_col: str = "embedding",
     return (edges.sort(["a", "b"])
             .map_batches(block_unique, batch_size=None,
                          batch_format="pyarrow"))
+
+
+def tfidf_pairs(docs_ds, n_docs: int, id_col: str = "doc_id",
+                text_col: str = "text", min_df: int = 2,
+                max_df: int = 32, idf_scale: int = 1000,
+                top_n: int = 50):
+    """SPARSE similarity join: top-``top_n`` document pairs by
+    integer TF-IDF dot product → ``(doc_a, doc_b, dot:int64)``,
+    ``doc_a < doc_b``, ties broken by ``(doc_a, doc_b)``.
+
+    Weights are exact integers so the DuckDB oracle replays them
+    value-for-value: ``w(doc, tok) = tf · ((n_docs · idf_scale) //
+    df)`` (integer-floor idf — no float log). Tokens with
+    ``df < min_df`` contribute nothing to any pair; tokens with
+    ``df > max_df`` are DROPPED — the prefix-filtering/stopword cap
+    that bounds the inverted-index fan-out (a stopword shared by every
+    document would otherwise emit O(N²) pairs).
+
+    100 TB shape: per-block (doc, token, tf) partials shrink each
+    block to its distinct pairs; ONE co-locating sort on the token key
+    (the engine's verified each-key-whole-in-one-block invariant, as
+    in ``inverted_index``); each block then expands its tokens'
+    posting lists into weighted pairs fully vectorized (the same
+    repeat/cumsum triangular construction as ``range_join_window`` —
+    per-token fan-out is capped at ``max_df·(max_df-1)/2``); finally
+    one groupby shuffle on the (doc_a, doc_b) key sums the dots and a
+    descending sort takes the global top-``top_n``."""
+    from orchid_fst_ray.pipelines.textstats import _explode_tokens
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat, row, _ = _explode_tokens(t[text_col])
+        empty = pa.table({"token": pa.array([], pa.large_string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        ids = t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[row]
+        agg = pa.TableGroupBy(
+            pa.table({"token": flat, "doc_id": pa.array(ids)}),
+            ["token", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"token": agg["token"],
+                         "doc_id": agg["doc_id"].cast(pa.int64()),
+                         "tf": agg["count_all"].cast(pa.int64())})
+
+    def expand_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "prod": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        codes = t["token"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # order by (token, doc_id) so pairs come out doc_a < doc_b
+        order = np.lexsort((ids, codes))
+        codes, ids, tf = codes[order], ids[order], tf[order]
+        n = len(codes)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        lens = np.diff(np.concatenate((seg, [n])))
+        df_row = np.repeat(lens, lens)           # df per row
+        w = tf * ((np.int64(n_docs) * idf_scale) // df_row)
+        keep_row = (df_row >= min_df) & (df_row <= max_df)
+        # triangular fan-out: row r pairs with the (seg_end - r - 1)
+        # rows after it in the same (kept) segment
+        seg_end = np.repeat(seg + lens, lens)
+        rights = np.where(keep_row,
+                          seg_end - np.arange(n) - 1, 0)
+        total = int(rights.sum())
+        if total == 0:
+            return empty
+        rep_left = np.repeat(np.arange(n), rights)
+        offsets = np.concatenate(([0], np.cumsum(rights)[:-1]))
+        within = np.arange(total) - np.repeat(offsets, rights)
+        right = rep_left + 1 + within
+        return pa.table({
+            "doc_a": pa.array(ids[rep_left], pa.int64()),
+            "doc_b": pa.array(ids[right], pa.int64()),
+            "prod": pa.array(w[rep_left] * w[right], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(tf_partial, batch_format="pyarrow")
+            .sort("token")
+            .map_batches(expand_pairs, batch_size=None,
+                         batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Sum("prod", alias_name="dot"))
+            .map_batches(lambda t: pa.table({
+                "doc_a": t["doc_a"].cast(pa.int64()),
+                "doc_b": t["doc_b"].cast(pa.int64()),
+                "dot": t["dot"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            .sort(["dot", "doc_a", "doc_b"],
+                  descending=[True, False, False])
+            .limit(top_n))

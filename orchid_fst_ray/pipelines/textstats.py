@@ -27,7 +27,7 @@ from orchid_fst_ray.functions.text import stable_fingerprint
 
 __all__ = ["token_stats", "quality_stats", "lang_id", "doc_fingerprints",
            "pii_scan", "term_frequencies", "repetition_stats",
-           "quality_ok_mask",
+           "quality_ok_mask", "dup_gram_stats",
            "lang_pred_array", "STOPWORDS_EN"]
 
 _WORD_PAT = "[A-Za-z0-9]+"
@@ -502,4 +502,95 @@ def repetition_stats(ds, text_col: str = "text",
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(fn, batch_format="pyarrow")
+            .sort(id_col))
+
+
+def dup_gram_stats(ds, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """ExactSubstr-lite duplicated-span statistics → one row per
+    document ``(doc_id, n_grams:int64, n_dup:int64)``: ``n_grams`` is
+    the number of ``k``-token windows in the doc, ``n_dup`` how many
+    of those windows' grams also occur in at least one OTHER document
+    (the train-set-internal analogue of ``decontaminate``'s
+    train-vs-eval k-gram scan; the Lee et al. ExactSubstr dedup signal
+    at token-window granularity).
+
+    100 TB shape: per-block gram explosion is vectorized
+    (``binary_join_element_wise`` over shifted token takes — no
+    per-row Python); the cross-doc count takes ONE groupby shuffle on
+    the gram key over block-distinct (gram, doc) pairs; flagging is a
+    single :func:`merge_join` of the position stream against the
+    gram-cardinality count table (grams are shuffled by STRING key so
+    the SQL oracle replays raw grams — swap in ``poly_hash64`` keys to
+    narrow the exchange when collision-tolerance is acceptable); the
+    per-doc fold is a combiner-first groupby. The gram stream is
+    materialized once because two lineages consume it (the
+    ``bloom_antijoin`` double-scan lesson)."""
+    from ray.data.aggregate import Sum
+
+    from orchid_fst_ray.pipelines.relational import merge_join
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.large_string()),
+                          id_col: pa.array([], pa.int64())})
+        flat, row, _n = _explode_tokens(t[text_col])
+        if len(flat) < k:
+            return empty
+        m = len(flat) - (k - 1)
+        same = np.ones(m, bool)
+        for j in range(1, k):
+            same &= row[j:j + m] == row[:m]
+        base = np.flatnonzero(same)
+        if len(base) == 0:
+            return empty
+        ids = t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts = [flat.take(pa.array(base + j)) for j in range(k)]
+        gram = pc.binary_join_element_wise(
+            *parts, pa.scalar(" ", pa.large_string()))
+        return pa.table({"gram": gram.cast(pa.large_string()),
+                         id_col: pa.array(ids[row[base]], pa.int64())})
+
+    grams = (ds.select_columns([id_col, text_col])
+             .map_batches(gram_rows, batch_format="pyarrow")
+             .materialize())
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        # a doc lives in one block, so block-distinct (gram, doc) is
+        # globally distinct
+        agg = t.group_by(["gram", id_col]).aggregate([])
+        return agg.select(["gram", id_col])
+
+    nd = (grams.map_batches(block_distinct, batch_format="pyarrow")
+          .groupby("gram").count()
+          .map_batches(lambda t: pa.table({
+              "gram": t["gram"].cast(pa.large_string()),
+              "nd": t["count()"].cast(pa.int64())}),
+              batch_format="pyarrow"))
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater_equal(t["nd"], 2), pa.int64())
+        agg = pa.TableGroupBy(
+            pa.table({id_col: t[id_col], "dup": dup}),
+            [id_col]).aggregate([([], "count_all"), ("dup", "sum")])
+        return pa.table({id_col: agg[id_col].cast(pa.int64()),
+                         "n_grams": agg["count_all"].cast(pa.int64()),
+                         "n_dup": agg["dup_sum"].cast(pa.int64())})
+
+    per_doc = (merge_join(grams, nd, on="gram")
+               .map_batches(fold_partial, batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Sum("n_grams", alias_name="n_grams"),
+                          Sum("n_dup", alias_name="n_dup")))
+
+    all_docs = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({id_col: t[id_col].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return (merge_join(all_docs, per_doc, on=id_col,
+                       join_type="left outer")
+            .map_batches(lambda t: pa.table({
+                id_col: t[id_col].cast(pa.int64()),
+                "n_grams": pc.fill_null(t["n_grams"], 0).cast(pa.int64()),
+                "n_dup": pc.fill_null(t["n_dup"], 0).cast(pa.int64())}),
+                batch_format="pyarrow")
             .sort(id_col))
