@@ -419,6 +419,22 @@ def tfidf_pairs(docs_ds, n_docs: int, id_col: str = "doc_id",
             "doc_b": pa.array(ids[right], pa.int64()),
             "prod": pa.array(w[rep_left] * w[right], pa.int64())})
 
+    def block_topn(t: pa.Table) -> pa.Table:
+        # groupby output blocks hold disjoint (doc_a, doc_b) keys, so
+        # block-local top-n is a lossless combiner: the final sort
+        # sees ≤ blocks·top_n rows instead of the full pair table
+        out = pa.table({
+            "doc_a": t["doc_a"].cast(pa.int64()),
+            "doc_b": t["doc_b"].cast(pa.int64()),
+            "dot": t["dot"].cast(pa.int64())})
+        if out.num_rows <= top_n:
+            return out
+        d = out["dot"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = out["doc_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = out["doc_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((b, a, -d))[:top_n]
+        return out.take(pa.array(np.sort(keep)))
+
     from ray.data.aggregate import Sum
     return (docs_ds.select_columns([id_col, text_col])
             .map_batches(tf_partial, batch_format="pyarrow")
@@ -427,11 +443,8 @@ def tfidf_pairs(docs_ds, n_docs: int, id_col: str = "doc_id",
                          batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
             .aggregate(Sum("prod", alias_name="dot"))
-            .map_batches(lambda t: pa.table({
-                "doc_a": t["doc_a"].cast(pa.int64()),
-                "doc_b": t["doc_b"].cast(pa.int64()),
-                "dot": t["dot"].cast(pa.int64())}),
-                batch_format="pyarrow")
+            .map_batches(block_topn, batch_size=None,
+                         batch_format="pyarrow")
             .sort(["dot", "doc_a", "doc_b"],
                   descending=[True, False, False])
             .limit(top_n))
