@@ -424,10 +424,13 @@ def _emit(out: dict) -> None:
     print(line)
 
 
-# 1M: after the round-4 speedups (int64 BSP, slice-replicated hot
-# hosts, candidate fan-out) the 250k fixture became overhead-dominated
-# at 32 CPUs — the same reason rounds 2 and 3 moved this knob from
-# 22.5k to 100k to 250k. The workload must keep 32 CPUs compute-bound.
+# 2M: round-5 stage attribution at 1M pages measured ~2-3 s of
+# CPU-count-independent overhead per stage (scheduling waves + actor
+# pool spin-up), which is ~25% of the 16-CPU wall — the fixture had
+# gone overhead-bound at high CPU counts exactly like 250k did in
+# round 4 (and 22.5k/100k before it: rounds 2-4 moved this knob
+# 22.5k → 100k → 250k → 1M). Doubling to 2M halves the relative
+# fixed term so the efficiency ratio measures the PIPELINE again.
 # The single-box DRAM artifact (bandwidth_ceiling_kernel_sec in the
 # scaling JSON) varies with machine state: in degraded windows the
 # same kernel runs ~3x slower per process at 32-way than 8-way and
@@ -437,7 +440,7 @@ def _emit(out: dict) -> None:
 # ER workload's per-page cost rises with corpus size (the Zipf head's
 # hosts densify), which the strong same-input pair cancels out and
 # the weak pair conflates (see BASELINE.md round 4).
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "2000000"))
 
 
 def _scaling_child(num_cpus: int) -> None:
