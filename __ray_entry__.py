@@ -802,6 +802,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         "n_chars"])
         return blocked_pair_scores(docs)
 
+    def top_orders_q3(sf_dir: str):
+        """TPC-H-Q3-style 3-table join: segment customers broadcast
+        (no orders shuffle), lineitem date-pruned + pre-aggregated per
+        order, ONE merge_join, integer revenue units
+        (relational.q3_top_orders)."""
+        from orchid_fst_ray.pipelines.relational import q3_top_orders
+        return q3_top_orders(sf_dir)
+
     def knn_triangles(sf_dir: str):
         """k-NN graph (k=3 cosine neighbors per embedding) → distributed
         degree-ordered triangle count: one row of exact integer graph
@@ -1039,6 +1047,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_pairs": tfidf_pairs_q,
         "dup_gram_stats": dup_gram_stats_q,
         "blocked_jw_scores": blocked_jw_scores,
+        "top_orders_q3": top_orders_q3,
+        # reference-core surface kept in-window (one row per family;
+        # the full registry is covered by ORACLES_r05.json)
+        "dict_items": dict_items,
+        "dict_fuzzy_lev": dict_fuzzy_lev,
+        "dict_union": dict_union_q,
+        "sort_lines": sort_lines,
         # --- analytics / sketches / joins ---
         "heavy_hitters": heavy_hitters,
         "approx_distinct_tokens": approx_distinct_tokens,
@@ -1067,23 +1082,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "doc_chunks": doc_chunks,
         "pack_sequences": pack_sequences,
-        "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         # --- events / relational ---
         "events_window": events_window,
-        "events_asof": events_asof,
-        "events_range_join": events_range_join,
         "events_sessions": events_sessions,
-        "events_topk": events_topk,
         "lineitem_summary": lineitem_summary,
         "orders_per_priority": orders_per_priority,
+        "sample_hash": sample_hash,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_topk": events_topk,
         "customers_per_region": customers_per_region,
         "priority_flag_summary": priority_flag_summary,
-        "sort_lines": sort_lines,
         # --- dictionary core (representatives in-window) ---
-        "dict_items": dict_items,
         "dict_match": dict_match,
-        "dict_fuzzy_lev": dict_fuzzy_lev,
         "dict_fuzzy_selfjoin": dict_fuzzy_selfjoin,
         # --- window boundary (~50) ---
         "dict_prefix": dict_prefix,
@@ -1091,7 +1103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_fuzzy_prefixlen": dict_fuzzy_prefixlen,
         "dict_fuzzy_batch": dict_fuzzy_batch,
         "dict_fuzzy_damerau": dict_fuzzy_damerau,
-        "dict_union": dict_union_q,
         "dict_intersect": dict_intersect_q,
         "dict_difference": dict_difference_q,
         "term_frequencies": term_frequencies,
@@ -2254,6 +2265,20 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*)::BIGINT FROM s3)))
               AS t(step, step_type, n_users)
             ORDER BY step""",
+        "top_orders_q3": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100)
+                                     AS BIGINT)))::BIGINT
+                       AS revenue_units
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_units DESC, o_orderkey LIMIT 10""",
         "lineitem_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -15,7 +15,7 @@ import pyarrow as pa
 __all__ = ["broadcast_join", "merge_join", "bloom_semijoin",
            "cube_aggregate",
            "bloom_antijoin", "rollup_aggregate",
-           "customers_per_region"]
+           "customers_per_region", "q3_top_orders"]
 
 
 def broadcast_join(big_ds, small_table: pa.Table, keys,
@@ -425,3 +425,94 @@ def _grouping_sets(finest, keys, subsets, all_label):
     for l in levels[1:]:
         out = out.union(l)
     return out
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
+                  cutoff: str = "1998-06-01", top_n: int = 10):
+    """TPC-H-Q3-style shipping-priority query → the ``top_n`` orders
+    by revenue among ``segment`` customers, ordered before ``cutoff``
+    with line items shipped after it:
+    ``(o_orderkey, o_orderdate, o_orderpriority, revenue_units)``.
+    Revenue is the exact integer
+    ``Σ floor(extendedprice·100) · (100 − floor(discount·100))`` so
+    the distributed sum is partial-order independent and the DuckDB
+    oracle replays it value-for-value (the double products inside the
+    floors are computed identically on both sides).
+
+    The three-table join, composed scale-first: the customer
+    dimension is filtered to the segment and BROADCAST (``ray.put``
+    of a key array — no shuffle of the orders side); lineitem is
+    date-pruned at the read and pre-aggregated per orderkey (one
+    groupby); the surviving per-order revenue table meets the
+    filtered orders side in ONE :func:`merge_join`; the final top-n
+    is a cardinality-bounded descending sort."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], segment))
+    keys_ref = ray.put(keys["c_custkey"].combine_chunks().cast(
+        pa.int64()))
+
+    class FilterOrders:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.less(t["o_orderdate"].cast(pa.timestamp("us")), cut),
+                pc.is_in(t["o_custkey"].cast(pa.int64()),
+                         value_set=self.keys))
+            t = t.filter(m)
+            return pa.table({
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+                "o_orderpriority": t["o_orderpriority"].cast(pa.string())})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(
+        FilterOrders, fn_constructor_args=(keys_ref,),
+        concurrency=(1, 8), batch_format="pyarrow")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(
+            t["l_shipdate"].cast(pa.timestamp("us")), cut))
+        price_c = pc.cast(pc.floor(pc.multiply(pc.cast(
+            t["l_extendedprice"], pa.float64()), 100.0)), pa.int64())
+        disc_c = pc.cast(pc.floor(pc.multiply(pc.cast(
+            t["l_discount"], pa.float64()), 100.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100), disc_c))
+        agg = pa.TableGroupBy(pa.table(
+            {"o_orderkey": t["l_orderkey"].cast(pa.int64()),
+             "rev": rev}), ["o_orderkey"]).aggregate([("rev", "sum")])
+        return pa.table({"o_orderkey": agg["o_orderkey"],
+                         "revenue_units": agg["rev_sum"].cast(pa.int64())})
+
+    li_rev = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("revenue_units", alias_name="revenue_units"))
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "revenue_units": t["revenue_units"].cast(pa.int64())}),
+            batch_format="pyarrow"))
+
+    return (merge_join(orders, li_rev, on="o_orderkey")
+            .sort(["revenue_units", "o_orderkey"],
+                  descending=[True, False])
+            .limit(top_n)
+            .map_batches(lambda t: t.select(
+                ["o_orderkey", "o_orderdate", "o_orderpriority",
+                 "revenue_units"]), batch_format="pyarrow"))

@@ -162,3 +162,28 @@ def test_blocked_jw_cross_block_never_pairs(ray_session):
                 "lang": pa.array(["en", "de"]),
                 "n_chars": pa.array([9, 9], pa.int64())})
     assert len(blocked_pair_scores(docs).to_pandas()) == 0
+
+
+# ---------------------------------------------------------------- q3 join
+
+def test_q3_top_orders_matches_duckdb(ray_session):
+    import duckdb
+    from orchid_fst_ray.pipelines.relational import q3_top_orders
+    sf = "/root/testdata/sf0.001"
+    got = q3_top_orders(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+               sum(CAST(floor(l.l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount*100) AS BIGINT)))::BIGINT
+                   AS revenue_units
+        FROM '{sf}/customer.parquet' c
+        JOIN '{sf}/orders.parquet' o ON c.c_custkey = o.o_custkey
+        JOIN '{sf}/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_units DESC, o_orderkey LIMIT 10""").df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["revenue_units"].tolist() == want["revenue_units"].tolist()
