@@ -443,19 +443,42 @@ def _emit(out: dict) -> None:
 SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "2000000"))
 
 
+def _scaling_fixture(n_pages: int, num_cpus: int):
+    """The SAME deterministic fixture at every CPU count, generated
+    once per machine and cached as parquet under /tmp:
+    ``pages_dataset`` content depends only on (n_pages, seed), but its
+    generation is a Python row loop (~5 min per 1M pages) that
+    dominated the LOW-CPU child's wall at 2M pages — the cache turns
+    that into a parquet read, excluded from the timing exactly as
+    generation was. Children run sequentially, so the write-once
+    rename commit never races."""
+    import shutil
+    import tempfile
+    import ray.data as rd
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"ofst_scaling_fixture_{n_pages}_s42")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        from orchid_fst_ray.pipelines.fixtures import pages_dataset
+        tmp = cache + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        pages_dataset(n_pages, seed=42,
+                      parallelism=num_cpus).write_parquet(tmp)
+        os.rename(tmp, cache)
+        open(os.path.join(cache, "_SUCCESS"), "w").close()
+    return rd.read_parquet(cache).materialize()
+
+
 def _scaling_child(num_cpus: int) -> None:
     """One scaling measurement: the ER pipeline over the SAME
-    100k-page fixture at the given CPU count. The workload must be
+    2M-page fixture at the given CPU count. The workload must be
     large enough that per-stage scheduling overhead (constant in CPU
-    count) doesn't dominate the 32-CPU run — at 22.5k pages the
+    count) doesn't dominate the high-CPU run — at 22.5k pages the
     round-2 kernel speedups pushed compute below fixed overhead and
     the measured ratio stopped reflecting pipeline scalability."""
     _init_ray(num_cpus)
     _warmup()
     from orchid_fst_ray.pipelines.er import run_er
-    from orchid_fst_ray.pipelines.fixtures import pages_dataset
-    pages = pages_dataset(SCALING_PAGES, seed=42,
-                          parallelism=num_cpus).materialize()
+    pages = _scaling_fixture(SCALING_PAGES, num_cpus)
     n = pages.count()
     t0 = time.time()
     res = run_er(pages, num_partitions=max(8, num_cpus // 2),
