@@ -511,7 +511,7 @@ def _bandwidth_ceiling() -> dict:
         "for _ in range(3): np.sort(a)\n"
         "print(time.time() - t0)\n")
     out = {}
-    for k in (1, 8, 16, 32):
+    for k in (1, 4, 8, 16, 32):
         ps = [subprocess.Popen([sys.executable, "-c", kernel],
                                stdout=subprocess.PIPE, text=True)
               for _ in range(k)]
