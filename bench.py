@@ -185,6 +185,10 @@ _QUERY_GROUPS = [
     # round-4 additions: sketch/join/iterative operators
     ["heavy_hitters", "bloom_semijoin_urgent", "graph_pagerank",
      "kmeans_embeddings"],
+    # round-5 additions: windows/funnel/cube, sparse-similarity and
+    # duplicated-span scans, the 3-table join
+    ["events_funnel", "lineitem_cube", "tfidf_pairs",
+     "dup_gram_stats", "top_orders_q3"],
 ]
 
 
