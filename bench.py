@@ -615,7 +615,8 @@ def scaling(repeats: int = REPEATS) -> None:
         "n_pages": SCALING_PAGES,
         "sf": SF_DIR,
     }
-    detail = DETAIL_PATH.replace(".json", "_SCALING.json")
+    detail = DETAIL_PATH.replace(
+        ".json", f"_SCALING_{lo_cpu}_{hi_cpu}.json")
     with open(detail, "w") as f:
         json.dump(full, f, indent=1)
     # compact final line only (same tail-capture constraint as main)
