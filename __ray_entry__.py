@@ -810,6 +810,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from orchid_fst_ray.pipelines.relational import q3_top_orders
         return q3_top_orders(sf_dir)
 
+    def local_supplier_revenue(sf_dir: str):
+        """TPC-H-Q5-style 5-table chain: two merge_joins over the
+        data-sized tables, supplier→nation + nation-name maps
+        broadcast, nation-equality as a vectorized filter
+        (relational.local_supplier_revenue)."""
+        from orchid_fst_ray.pipelines.relational import (
+            local_supplier_revenue as q5)
+        return q5(sf_dir)
+
+    def events_ntile(sf_dir: str):
+        """NTILE(4) value quartiles per event type — SQL-standard
+        uneven split, closed-form bucket assignment after one
+        group-key sort (events.value_ntile)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import value_ntile
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type",
+                                      "value"])
+        return value_ntile(ev)
+
+    def events_retention(sf_dir: str):
+        """Weekly cohort retention triangle: first-event cohort week ×
+        active-week offset × distinct users; blocks ship only distinct
+        triples (events.retention_cohorts)."""
+        import ray.data as rd
+        from orchid_fst_ray.pipelines.events import retention_cohorts
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+        return retention_cohorts(ev)
+
     def knn_triangles(sf_dir: str):
         """k-NN graph (k=3 cosine neighbors per embedding) → distributed
         degree-ordered triangle count: one row of exact integer graph
@@ -1048,6 +1078,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_gram_stats": dup_gram_stats_q,
         "blocked_jw_scores": blocked_jw_scores,
         "top_orders_q3": top_orders_q3,
+        "local_supplier_revenue": local_supplier_revenue,
+        "events_ntile": events_ntile,
+        "events_retention": events_retention,
         # reference-core surface kept in-window (one row per family;
         # the full registry is covered by ORACLES_r05.json)
         "dict_items": dict_items,
@@ -2279,6 +2312,42 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate > TIMESTAMP '1998-06-01'
             GROUP BY 1, 2, 3
             ORDER BY revenue_units DESC, o_orderkey LIMIT 10""",
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100)
+                                     AS BIGINT)))::BIGINT
+                       AS revenue_units
+            FROM customer, orders, lineitem, supplier, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '2000-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_units DESC, n_name""",
+        "events_ntile": """
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS value_units,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id)::BIGINT
+                       AS tile
+            FROM events ORDER BY event_id""",
+        "events_retention": """
+            WITH f AS (SELECT user_id,
+                              date_trunc('week', min(ts)) AS cohort_week
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id,
+                         date_trunc('week', ts) AS wk FROM events)
+            SELECT f.cohort_week,
+                   CAST((epoch_us(a.wk) - epoch_us(f.cohort_week))
+                        // (7 * 86400 * 1000000::BIGINT) AS BIGINT)
+                       AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "lineitem_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,

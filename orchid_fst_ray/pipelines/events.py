@@ -14,7 +14,8 @@ import pyarrow.compute as pc
 
 __all__ = ["running_totals", "tumbling_window_stats", "sessionize",
            "asof_join_prior", "range_join_window", "top_k_per_user",
-           "lag_lead_gaps", "funnel_depths"]
+           "lag_lead_gaps", "funnel_depths", "value_ntile",
+           "retention_cohorts"]
 
 
 def _i64(col, dtype="int64"):
@@ -491,3 +492,119 @@ def funnel_depths(events_ds, steps=("view", "click", "purchase"),
                 "n_users": t["n_users"].cast(pa.int64())}),
                 batch_format="pyarrow")
             .sort("step"))
+
+
+def value_ntile(events_ds, n_tiles: int = 4,
+                group_col: str = "event_type", val_col: str = "value",
+                id_col: str = "event_id"):
+    """NTILE(``n_tiles``) per group → ``(event_id, event_type,
+    value_units:int64, tile:int64)``: each event's quantile bucket of
+    ``value`` within its event type, with the SQL-standard uneven
+    split (the first ``n % n_tiles`` buckets get one extra row),
+    ordered by ``(value, event_id)``. ``value_units`` is
+    ``floor(value·100)`` so the output is integer-exact; the ORDER BY
+    runs on the raw doubles, identical IEEE comparisons both sides.
+
+    Same shape as :func:`running_totals`: one range sort on the GROUP
+    key alone, then a block-local lexsort + closed-form bucket
+    assignment (no per-row Python)."""
+    import numpy as np
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                group_col: pa.array([], pa.string()),
+                "value_units": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64())})
+        g = t[group_col].combine_chunks()
+        codes = g.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals = t[val_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ids = _i64(t[id_col])
+        order = np.lexsort((ids, vals, codes))
+        codes_s, ids_s = codes[order], ids[order]
+        n = len(codes_s)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
+        lens = np.diff(np.concatenate((seg, [n])))
+        r = np.arange(n, dtype=np.int64) - np.repeat(seg, lens)
+        m = np.repeat(lens, lens)               # group size per row
+        big = m % n_tiles                       # buckets with +1 row
+        size_small = m // n_tiles
+        size_big = size_small + 1
+        cut = big * size_big                    # rows in big buckets
+        tile = np.where(
+            r < cut, r // np.maximum(size_big, 1),
+            big + (r - cut) // np.maximum(size_small, 1)) + 1
+        units = np.floor(vals[order] * 100).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(ids_s, pa.int64()),
+            group_col: g.take(pa.array(order)),
+            "value_units": pa.array(units, pa.int64()),
+            "tile": pa.array(tile, pa.int64())})
+
+    return (events_ds.select_columns([id_col, group_col, val_col])
+            .sort(group_col)
+            .map_batches(assign, batch_size=None,
+                         batch_format="pyarrow")
+            .sort(id_col))
+
+
+def retention_cohorts(events_ds, user_col: str = "user_id",
+                      ts_col: str = "ts"):
+    """Weekly cohort retention → ``(cohort_week:timestamp,
+    week_offset:int64, n_users:int64)``: users whose FIRST event falls
+    in ``cohort_week`` (ISO-Monday truncation) counted as active
+    ``week_offset`` weeks later — the classic product-analytics
+    retention triangle, over the engine's per-group sort invariant.
+
+    One user-key sort; each block derives its users' first-event
+    weeks and DISTINCT (cohort, offset, user) triples vectorized,
+    then ships only distinct triples into one bounded groupby
+    (cohorts × offsets × active users — the output cardinality)."""
+    import numpy as np
+
+    WEEK_US = np.int64(7 * 86400) * np.int64(1_000_000)
+
+    def triples(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "cohort_week": pa.array([], pa.timestamp("us")),
+                "week_offset": pa.array([], pa.int64()),
+                user_col: pa.array([], pa.int64())})
+        users = _i64(t[user_col])
+        wk = _i64(pc.floor_temporal(
+            t[ts_col].cast(pa.timestamp("us")), unit="week")
+            .cast(pa.int64()))
+        order = np.lexsort((wk, users))
+        users, wk = users[order], wk[order]
+        n = len(users)
+        seg = np.concatenate(
+            ([0], np.flatnonzero(users[1:] != users[:-1]) + 1))
+        lens = np.diff(np.concatenate((seg, [n])))
+        cohort = np.repeat(wk[seg], lens)       # first week per user
+        off = (wk - cohort) // WEEK_US
+        key_new = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (wk[1:] != wk[:-1])))
+        idx = np.flatnonzero(key_new)           # distinct (user, week)
+        return pa.table({
+            "cohort_week": pa.array(cohort[idx]).cast(
+                pa.timestamp("us")),
+            "week_offset": pa.array(off[idx], pa.int64()),
+            user_col: pa.array(users[idx], pa.int64())})
+
+    from ray.data.aggregate import Count
+    return (events_ds.select_columns([user_col, ts_col])
+            .sort(user_col)
+            .map_batches(triples, batch_size=None,
+                         batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Count(alias_name="n_users"))
+            .map_batches(lambda t: pa.table({
+                "cohort_week": t["cohort_week"].cast(pa.timestamp("us")),
+                "week_offset": t["week_offset"].cast(pa.int64()),
+                "n_users": t["n_users"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            .sort(["cohort_week", "week_offset"]))

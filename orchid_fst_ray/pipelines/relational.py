@@ -15,7 +15,8 @@ import pyarrow as pa
 __all__ = ["broadcast_join", "merge_join", "bloom_semijoin",
            "cube_aggregate",
            "bloom_antijoin", "rollup_aggregate",
-           "customers_per_region", "q3_top_orders"]
+           "customers_per_region", "q3_top_orders",
+           "local_supplier_revenue"]
 
 
 def broadcast_join(big_ds, small_table: pa.Table, keys,
@@ -461,27 +462,25 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
     keys_ref = ray.put(keys["c_custkey"].combine_chunks().cast(
         pa.int64()))
 
-    class FilterOrders:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.less(t["o_orderdate"].cast(pa.timestamp("us")), cut),
-                pc.is_in(t["o_custkey"].cast(pa.int64()),
-                         value_set=self.keys))
-            t = t.filter(m)
-            return pa.table({
-                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
-                "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
-                "o_orderpriority": t["o_orderpriority"].cast(pa.string())})
+    def filter_orders(t: pa.Table) -> pa.Table:
+        # stateless broadcast lookup: ray.get from the local object
+        # store is free per task — an actor pool here would pay ~3 s
+        # of spin-up to filter a dimension-bounded stream (measured)
+        keys = ray.get(keys_ref)
+        m = pc.and_(
+            pc.less(t["o_orderdate"].cast(pa.timestamp("us")), cut),
+            pc.is_in(t["o_custkey"].cast(pa.int64()), value_set=keys))
+        t = t.filter(m)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+            "o_orderpriority": t["o_orderpriority"].cast(pa.string())})
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate",
                  "o_orderpriority"]).map_batches(
-        FilterOrders, fn_constructor_args=(keys_ref,),
-        concurrency=(1, 8), batch_format="pyarrow")
+        filter_orders, batch_format="pyarrow")
 
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(
@@ -516,3 +515,129 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
             .map_batches(lambda t: t.select(
                 ["o_orderkey", "o_orderdate", "o_orderpriority",
                  "revenue_units"]), batch_format="pyarrow"))
+
+
+def local_supplier_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                           date_hi: str = "2000-01-01"):
+    """TPC-H-Q5-style multi-join → revenue per nation from line items
+    whose CUSTOMER and SUPPLIER share that nation:
+    ``(n_name, revenue_units:int64)``, revenue desc (n_name tiebreak).
+    Integer revenue units as in :func:`q3_top_orders`.
+
+    The join chain, tier by tier: orders⋈customer is KEY-TO-KEY on a
+    table that is data-sized at TPC-H scale, so it takes a
+    :func:`merge_join` (NOT a broadcast — customer grows with SF);
+    lineitem⋈orders is the second merge_join; the supplier→nation and
+    nation-name maps are genuinely cardinality-bounded (suppliers per
+    nation, 25 nations) and broadcast. Equality of customer and
+    supplier nation is a vectorized filter after the supplier map
+    lookup — no third exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"), pa.timestamp("us"))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["c_custkey"].cast(pa.int64()),
+            "c_nationkey": t["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"].cast(pa.timestamp("us")),
+                             lo),
+            pc.less(t["o_orderdate"].cast(pa.timestamp("us")), hi)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_custkey": t["o_custkey"].cast(pa.int64())})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_prep, batch_format="pyarrow")
+
+    ord_nat = merge_join(orders, cust, on="o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.floor(pc.multiply(pc.cast(
+            t["l_extendedprice"], pa.float64()), 100.0)), pa.int64())
+        disc_c = pc.cast(pc.floor(pc.multiply(pc.cast(
+            t["l_discount"], pa.float64()), 100.0)), pa.int64())
+        return pa.table({
+            "o_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "l_suppkey": t["l_suppkey"].cast(pa.int64()),
+            "rev": pc.multiply(price_c,
+                               pc.subtract(pa.scalar(100), disc_c))})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(li_prep,
+                                            batch_format="pyarrow")
+
+    joined = merge_join(li, ord_nat, on="o_orderkey")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    sk = supp["s_suppkey"].combine_chunks().cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    sn = supp["s_nationkey"].combine_chunks().cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    order_s = np.argsort(sk)
+    nk = nation["n_nationkey"].combine_chunks().cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    names = nation["n_name"].to_pylist()
+    name_of = dict(zip(nk.tolist(), names))
+    ref = ray.put((sk[order_s], sn[order_s], name_of))
+
+    def local_only(t: pa.Table) -> pa.Table:
+        # stateless broadcast lookup (ray.get is free per task; an
+        # actor pool pays spin-up for nothing here, as in q3)
+        if t.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.int64())})
+        sk, sn, name_of = ray.get(ref)
+        # dense nationkey -> name lookup (25 nations): one fancy
+        # index per batch instead of a per-row dict walk
+        name_lut = np.empty(max(name_of) + 1, dtype=object)
+        for k, v in name_of.items():
+            name_lut[k] = v
+        supp_keys = t["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(sk, supp_keys)
+        s_nat = sn[np.clip(pos, 0, len(sn) - 1)]
+        c_nat = t["c_nationkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = (sk[np.clip(pos, 0, len(sk) - 1)]
+                == supp_keys) & (s_nat == c_nat)
+        idx = np.flatnonzero(keep)
+        nat = s_nat[idx]
+        names_arr = pa.array(name_lut[nat], pa.string())
+        agg = pa.TableGroupBy(pa.table({
+            "n_name": names_arr,
+            "rev": t["rev"].take(pa.array(idx))}),
+            ["n_name"]).aggregate([("rev", "sum")])
+        return pa.table({"n_name": agg["n_name"],
+                         "rev": agg["rev_sum"].cast(pa.int64())})
+
+    return (joined.map_batches(local_only, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("rev", alias_name="revenue_units"))
+            .map_batches(lambda t: pa.table({
+                "n_name": t["n_name"].cast(pa.string()),
+                "revenue_units": t["revenue_units"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            .sort(["revenue_units", "n_name"],
+                  descending=[True, False]))

@@ -515,20 +515,21 @@ def dup_gram_stats(ds, k: int = 5, text_col: str = "text",
     train-vs-eval k-gram scan; the Lee et al. ExactSubstr dedup signal
     at token-window granularity).
 
-    100 TB shape: per-block gram explosion is vectorized
-    (``binary_join_element_wise`` over shifted token takes — no
-    per-row Python); the cross-doc count takes ONE groupby shuffle on
-    the gram key over block-distinct (gram, doc) pairs; flagging is a
-    single :func:`merge_join` of the position stream against the
-    gram-cardinality count table (grams are shuffled by STRING key so
-    the SQL oracle replays raw grams — swap in ``poly_hash64`` keys to
-    narrow the exchange when collision-tolerance is acceptable); the
-    per-doc fold is a combiner-first groupby. The gram stream is
-    materialized once because two lineages consume it (the
-    ``bloom_antijoin`` double-scan lesson)."""
+    100 TB shape — ONE gram-key sort total: per-block gram explosion
+    is vectorized (``binary_join_element_wise`` over shifted token
+    takes — no per-row Python); the position stream takes a single
+    co-locating sort on the gram key (the verified
+    each-key-whole-in-one-block invariant), and one block-local
+    segment scan derives BOTH the per-gram distinct-doc count and the
+    per-row dup flag in place — the first version's separate
+    gram-count groupby and position⋈count merge_join collapse into
+    this scan (measured 25 s → the sort is now the only exchange).
+    Each block then folds to per-doc partials; docs with < k tokens
+    enter as zero seeds from a column-pruned id read, so no outer
+    join is needed. Grams shuffle by STRING key so the SQL oracle
+    replays raw grams — swap in ``poly_hash64`` keys to narrow the
+    exchange when collision-tolerance is acceptable."""
     from ray.data.aggregate import Sum
-
-    from orchid_fst_ray.pipelines.relational import merge_join
 
     def gram_rows(t: pa.Table) -> pa.Table:
         empty = pa.table({"gram": pa.array([], pa.large_string()),
@@ -551,46 +552,54 @@ def dup_gram_stats(ds, k: int = 5, text_col: str = "text",
         return pa.table({"gram": gram.cast(pa.large_string()),
                          id_col: pa.array(ids[row[base]], pa.int64())})
 
-    grams = (ds.select_columns([id_col, text_col])
-             .map_batches(gram_rows, batch_format="pyarrow")
-             .materialize())
-
-    def block_distinct(t: pa.Table) -> pa.Table:
-        # a doc lives in one block, so block-distinct (gram, doc) is
-        # globally distinct
-        agg = t.group_by(["gram", id_col]).aggregate([])
-        return agg.select(["gram", id_col])
-
-    nd = (grams.map_batches(block_distinct, batch_format="pyarrow")
-          .groupby("gram").count()
-          .map_batches(lambda t: pa.table({
-              "gram": t["gram"].cast(pa.large_string()),
-              "nd": t["count()"].cast(pa.int64())}),
-              batch_format="pyarrow"))
-
-    def fold_partial(t: pa.Table) -> pa.Table:
-        dup = pc.cast(pc.greater_equal(t["nd"], 2), pa.int64())
+    def scan(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        codes = t["gram"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        n = len(codes)
+        new_seg = np.concatenate(([True], codes[1:] != codes[:-1]))
+        seg = np.flatnonzero(new_seg)
+        lens = np.diff(np.concatenate((seg, [n])))
+        # distinct docs per gram segment: doc changes within segment
+        new_doc = new_seg | np.concatenate(([True],
+                                            ids[1:] != ids[:-1]))
+        ndoc = np.add.reduceat(new_doc.astype(np.int64), seg)
+        dup = np.repeat(ndoc >= 2, lens).astype(np.int64)
         agg = pa.TableGroupBy(
-            pa.table({id_col: t[id_col], "dup": dup}),
+            pa.table({id_col: pa.array(ids), "dup": pa.array(dup)}),
             [id_col]).aggregate([([], "count_all"), ("dup", "sum")])
         return pa.table({id_col: agg[id_col].cast(pa.int64()),
                          "n_grams": agg["count_all"].cast(pa.int64()),
                          "n_dup": agg["dup_sum"].cast(pa.int64())})
 
-    per_doc = (merge_join(grams, nd, on="gram")
-               .map_batches(fold_partial, batch_format="pyarrow")
-               .groupby(id_col)
-               .aggregate(Sum("n_grams", alias_name="n_grams"),
-                          Sum("n_dup", alias_name="n_dup")))
+    per_doc = (ds.select_columns([id_col, text_col])
+               .map_batches(gram_rows, batch_format="pyarrow")
+               .sort("gram")
+               .map_batches(scan, batch_size=None,
+                            batch_format="pyarrow"))
 
-    all_docs = ds.select_columns([id_col]).map_batches(
-        lambda t: pa.table({id_col: t[id_col].cast(pa.int64())}),
+    seeds = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "n_grams": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            "n_dup": pa.nulls(t.num_rows, pa.int64()).fill_null(0)}),
         batch_format="pyarrow")
-    return (merge_join(all_docs, per_doc, on=id_col,
-                       join_type="left outer")
+
+    return (per_doc.union(seeds)
+            .groupby(id_col)
+            .aggregate(Sum("n_grams", alias_name="n_grams"),
+                       Sum("n_dup", alias_name="n_dup"))
             .map_batches(lambda t: pa.table({
                 id_col: t[id_col].cast(pa.int64()),
-                "n_grams": pc.fill_null(t["n_grams"], 0).cast(pa.int64()),
-                "n_dup": pc.fill_null(t["n_dup"], 0).cast(pa.int64())}),
+                "n_grams": t["n_grams"].cast(pa.int64()),
+                "n_dup": t["n_dup"].cast(pa.int64())}),
                 batch_format="pyarrow")
             .sort(id_col))

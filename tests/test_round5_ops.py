@@ -187,3 +187,77 @@ def test_q3_top_orders_matches_duckdb(ray_session):
         ORDER BY revenue_units DESC, o_orderkey LIMIT 10""").df()
     assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
     assert got["revenue_units"].tolist() == want["revenue_units"].tolist()
+
+
+# ----------------------------------------------------------- ntile window
+
+def test_value_ntile_uneven_split(ray_session):
+    from orchid_fst_ray.pipelines.events import value_ntile
+    # 6 rows, one group: NTILE(4) -> buckets of 2,2,1,1
+    ev = _ds({"event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+              "event_type": pa.array(["x"] * 6),
+              "value": pa.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6])})
+    got = value_ntile(ev).to_pandas()
+    assert list(got["tile"]) == [1, 1, 2, 2, 3, 4]
+    assert list(got["value_units"]) == [10, 20, 30, 40, 50, 60]
+
+
+def test_value_ntile_matches_duckdb(ray_session):
+    import duckdb
+    from orchid_fst_ray.pipelines.events import value_ntile
+    rng = np.random.default_rng(11)
+    n = 200
+    ev_t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(rng.random(n))})
+    got = value_ntile(_ds({c: ev_t[c] for c in ev_t.column_names})
+                      ).to_pandas()
+    con = duckdb.connect()
+    want = con.execute("""
+        SELECT event_id, ntile(4) OVER (PARTITION BY event_type
+            ORDER BY value, event_id)::BIGINT AS tile
+        FROM ev_t ORDER BY event_id""").df()
+    assert got["tile"].tolist() == want["tile"].tolist()
+
+
+# ------------------------------------------------------------- retention
+
+def test_retention_cohorts(ray_session):
+    from orchid_fst_ray.pipelines.events import retention_cohorts
+    DAY = 86400
+    # Mon 2024-01-01 epoch; u1 active weeks 0,1,3; u2 week 0 only
+    base = 1_704_067_200
+    ev = _ds({"user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+              "ts": _ts([base, base + 2 * DAY, base + 8 * DAY,
+                         base + 22 * DAY, base + 3 * DAY])})
+    got = retention_cohorts(ev).to_pandas()
+    assert got["week_offset"].tolist() == [0, 1, 3]
+    assert got["n_users"].tolist() == [2, 1, 1]
+
+
+# ------------------------------------------------------------ q5ish join
+
+def test_local_supplier_revenue_matches_duckdb(ray_session):
+    import duckdb
+    from orchid_fst_ray.pipelines.relational import local_supplier_revenue
+    sf = "/root/testdata/sf0.001"
+    got = local_supplier_revenue(sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT n_name,
+               sum(CAST(floor(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(floor(l_discount*100) AS BIGINT)))::BIGINT
+                   AS revenue_units
+        FROM '{sf}/customer.parquet' c, '{sf}/orders.parquet' o,
+             '{sf}/lineitem.parquet' l, '{sf}/supplier.parquet' s,
+             '{sf}/nation.parquet' n
+        WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+          AND l.l_suppkey = s.s_suppkey
+          AND c.c_nationkey = s.s_nationkey
+          AND s.s_nationkey = n.n_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '2000-01-01'
+        GROUP BY n_name ORDER BY revenue_units DESC, n_name""").df()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["revenue_units"].tolist() == want["revenue_units"].tolist()
