@@ -336,8 +336,6 @@ def main() -> None:
         queries_runs.update(detail)
         _init_ray(NUM_CPUS)
 
-    _fresh_session()
-    scale = run_scale_bench()
     out = {
         "metric": "er_docs_per_sec",
         "value": round(n / er_wall, 2),
@@ -347,12 +345,18 @@ def main() -> None:
         "basis": f"median_of_{repeats}_fresh_processes",
         "n_pages": n,
         "quality": quality,
-        "scale_100k": scale,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "calibration_sec": {"before": calib_before,
                             "healthy_ref": 0.5},
     }
+    # provisional emit: if the driver's budget kills the remaining
+    # scale points, the LAST stdout JSON line (this one, marked
+    # partial) still carries every per-query median — a truncated run
+    # degrades to a partial artifact instead of parsed:null
+    _emit(dict(out, partial="scale_points_pending"))
+    _fresh_session()
+    out["scale_100k"] = run_scale_bench()
     # heavier scale-trend points (skippable while iterating locally)
     if not os.environ.get("GRAFT_BENCH_FAST"):
         _fresh_session()
@@ -416,6 +420,8 @@ def _emit(out: dict) -> None:
                       out["calibration_sec"].get("after")],
         "detail_file": os.path.basename(DETAIL_PATH),
     }
+    if "partial" in out:
+        compact["partial"] = out["partial"]
     for key in ("scale_100k", "scale_250k", "scale_1m",
                 "cc_stress_10m"):
         if key in out and isinstance(out[key], dict):
