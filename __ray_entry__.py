@@ -513,6 +513,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_meta(sf_dir), {"en": 0.05}, default_rate=0.5
         ).sort("doc_id")
 
+    def sample_weighted(sf_dir: str):
+        """Length-weighted Bernoulli sampling: keep probability
+        min(n_chars/1000, 1) — the char-budget importance-sampling
+        curation pass, still a pure key-hash filter per row
+        (sampling.weighted_sample)."""
+        from orchid_fst_ray.pipelines import sampling
+        return sampling.weighted_sample(
+            _docs_meta(sf_dir), weight_col="n_chars",
+            full_weight=1000).sort("doc_id")
+
     def heavy_hitters(sf_dir: str):
         """Exact top-20 tokens via the truncated-combiner + bounded
         recount path (SpaceSaving shape): per-block top-64 survivors +
@@ -1122,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_summary": lineitem_summary,
         "orders_per_priority": orders_per_priority,
         "sample_hash": sample_hash,
+        "sample_weighted": sample_weighted,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "events_topk": events_topk,
@@ -2200,6 +2211,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM k
             WHERE ({_sql_poly_token("kstr")}) % 10000 <
                   CASE WHEN lang = 'en' THEN 500 ELSE 5000 END
+            ORDER BY doc_id""",
+        "sample_weighted": f"""
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(doc_id AS VARCHAR) AS kstr
+              FROM documents)
+            SELECT doc_id, lang, n_chars FROM k
+            WHERE ({_sql_poly_token("kstr")}) % 10000 <
+                  (LEAST(n_chars, 1000) * 10000) // 1000
             ORDER BY doc_id""",
         "heavy_hitters": """
             WITH toks AS (

@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from orchid_fst_ray.functions.hashing import poly_hash64
 
-__all__ = ["hash_sample", "stratified_sample", "GRANULARITY"]
+__all__ = ["hash_sample", "stratified_sample", "weighted_sample",
+           "GRANULARITY"]
 
 # rate resolution: rates are quantized to 1/GRANULARITY so the engine
 # filter and the SQL oracle share one integer threshold semantics
@@ -78,6 +79,32 @@ def stratified_sample(ds, rates: dict[str, float], default_rate: float,
         thresholds = np.fromiter(
             (table.get(s, default) for s in strata),
             dtype=np.uint64, count=len(strata))
+        keep = (_key_hashes(t, key_col) % gran) < thresholds
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample(ds, weight_col: str = "n_chars",
+                    full_weight: int = 1000,
+                    key_col: str = "doc_id"):
+    """LENGTH-WEIGHTED deterministic Bernoulli sampling: each row is
+    kept with probability ``min(weight / full_weight, 1)`` — the
+    importance-sampling curation step that keeps long documents and
+    thins short ones (a char-budget-proportional corpus subset).
+    The keep decision stays a pure key-hash function
+    (``poly_hash64(str(key)) % GRANULARITY <
+    min(weight, full_weight) · GRANULARITY // full_weight``), so
+    every :func:`hash_sample` property carries over: reproducible,
+    resume-safe, shuffle-free, nested in ``full_weight`` sweeps, and
+    SQL-replicable value-for-value in integer arithmetic."""
+    gran = np.uint64(GRANULARITY)
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = t[weight_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        thresholds = (np.minimum(w, full_weight).astype(np.uint64)
+                      * gran // np.uint64(full_weight))
         keep = (_key_hashes(t, key_col) % gran) < thresholds
         return t.filter(pa.array(keep))
 

@@ -261,3 +261,24 @@ def test_local_supplier_revenue_matches_duckdb(ray_session):
         GROUP BY n_name ORDER BY revenue_units DESC, n_name""").df()
     assert got["n_name"].tolist() == want["n_name"].tolist()
     assert got["revenue_units"].tolist() == want["revenue_units"].tolist()
+
+
+# ------------------------------------------------------------- sampling
+
+def test_weighted_sample_threshold(ray_session):
+    from orchid_fst_ray.functions.hashing import poly_hash64
+    from orchid_fst_ray.pipelines.sampling import weighted_sample
+    ids = np.arange(1000)
+    # weight 0 -> never kept; weight >= full -> always kept
+    ds = _ds({"doc_id": pa.array(ids, pa.int64()),
+              "n_chars": pa.array(
+                  np.where(ids % 2 == 0, 0, 5000), pa.int64())})
+    got = weighted_sample(ds, full_weight=1000).to_pandas()
+    assert (got["doc_id"] % 2 == 1).all() and len(got) == 500
+    # mid weight: exact hash-threshold replay
+    ds2 = _ds({"doc_id": pa.array(ids, pa.int64()),
+               "n_chars": pa.array([250] * 1000, pa.int64())})
+    got2 = weighted_sample(ds2, full_weight=1000).to_pandas()
+    h = poly_hash64([str(i) for i in ids])
+    want = ids[(h % np.uint64(10000)) < np.uint64(2500)]
+    assert got2["doc_id"].tolist() == sorted(want.tolist())
